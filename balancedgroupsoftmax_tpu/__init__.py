@@ -1,0 +1,15 @@
+"""balancedgroupsoftmax_tpu — a TPU-native (JAX/XLA/Pallas) detection framework.
+
+A from-scratch rebuild of the capabilities of FishYuLi/BalancedGroupSoftmax
+(CVPR 2020 "Overcoming Classifier Imbalance for Long-tail Object Detection
+with Balanced Group Softmax"): long-tailed detection / instance segmentation
+on LVIS v0.5 with Faster/Mask/Cascade R-CNN and HTC hosts and the grouped
+softmax (BAGS) classification head.
+
+Design stance (see SURVEY.md §7): pure functions over fixed-shape arrays with
+validity masks, flax.linen modules for parameterized layers, one jitted train
+step with psum over a `jax.sharding.Mesh`, and Pallas kernels for the hot ops
+(RoIAlign, NMS) replacing the reference's CUDA extensions.
+"""
+
+__version__ = "0.1.0"
