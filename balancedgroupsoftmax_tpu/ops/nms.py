@@ -1,0 +1,203 @@
+"""Greedy NMS / soft-NMS over fixed-capacity boxes — TPU-native.
+
+Replaces the reference CUDA/C++/Cython kernels
+(/root/reference/mmdet/ops/nms/src/nms_kernel.cu, nms_cpu.cpp,
+soft_nms_cpu.pyx) with XLA-compiled JAX:
+
+- `nms_keep` computes exact greedy NMS via *iterative self-suppression*: with
+  boxes sorted by score, keep[j] flips off when any still-kept higher-scored
+  box overlaps it; iterating to fixpoint reproduces the sequential greedy
+  result (each round finalizes at least one more chain level, so it converges
+  in <= suppression-chain-depth rounds, typically < 10). Each round is one
+  masked mat-vec — MXU work instead of a 2000-step scalar loop.
+- IoU uses the same +1 pixel convention as the reference kernel
+  (nms_kernel.cu devIoU).
+- `soft_nms` implements linear/gaussian score decay (soft_nms_cpu.pyx) as a
+  fixed-length selection loop.
+
+All functions take/return fixed shapes with validity masks and are
+vmap/jit-safe.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import bbox_overlaps
+
+
+def nms_keep(
+    boxes: jnp.ndarray,  # (N, 4)
+    scores: jnp.ndarray,  # (N,)
+    valid: jnp.ndarray,  # (N,) bool
+    iou_thr: float,
+) -> jnp.ndarray:
+    """Exact greedy NMS. Returns (N,) bool keep mask (in input order)."""
+    n = boxes.shape[0]
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    s = jnp.where(valid, scores, neg_inf)
+    order = jnp.argsort(-s)  # stable: ties broken by original index
+    b = boxes[order]
+    v = valid[order]
+
+    iou = bbox_overlaps(b, b)  # (N, N)
+    upper = jnp.triu(jnp.ones((n, n), jnp.bool_), k=1)  # i < j: i can suppress j
+    adj = (iou > iou_thr) & upper & v[:, None] & v[None, :]
+    adj_f = adj.astype(jnp.float32)
+
+    def cond(state):
+        keep, changed = state
+        return changed
+
+    def body(state):
+        keep, _ = state
+        suppressed = (keep.astype(jnp.float32) @ adj_f) > 0.0
+        new_keep = v & ~suppressed
+        return new_keep, jnp.any(new_keep != keep)
+
+    keep_sorted, _ = jax.lax.while_loop(cond, body, (v, jnp.asarray(True)))
+    # scatter back to input order
+    keep = jnp.zeros(n, jnp.bool_).at[order].set(keep_sorted)
+    return keep
+
+
+def nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thr: float,
+    max_out: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """NMS returning the top `max_out` kept boxes by score.
+
+    Returns (boxes (max_out,4), scores (max_out,), valid (max_out,) bool) in
+    descending score order — the shape-stable analogue of the reference
+    `nms(dets)[:nms_post]` pattern (rpn_head.py:92-93).
+    """
+    keep = nms_keep(boxes, scores, valid, iou_thr)
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    kept_scores = jnp.where(keep, scores, neg_inf)
+    top_scores, inds = jax.lax.top_k(kept_scores, max_out)
+    out_valid = jnp.isfinite(top_scores)
+    return boxes[inds], jnp.where(out_valid, top_scores, 0.0), out_valid
+
+
+def soft_nms(
+    boxes: jnp.ndarray,  # (N, 4)
+    scores: jnp.ndarray,  # (N,)
+    valid: jnp.ndarray,  # (N,) bool
+    iou_thr: float = 0.3,
+    method: str = "linear",  # 'linear' | 'gaussian' | 'naive'
+    sigma: float = 0.5,
+    min_score: float = 1e-3,
+    max_out: int = 300,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Soft-NMS (soft_nms_cpu.pyx parity): iteratively select the max-score
+    box and decay the scores of overlapping remainder.
+
+    Returns (boxes, scores, valid) of length max_out in selection order.
+    """
+    n = boxes.shape[0]
+    neg_inf = jnp.asarray(-jnp.inf, jnp.float32)
+    live = jnp.where(valid, scores.astype(jnp.float32), neg_inf)
+
+    def body(_, state):
+        live, out_idx, out_score, out_n = state
+        i = jnp.argmax(live)
+        s_i = live[i]
+        take = s_i > min_score
+        iou = bbox_overlaps(boxes[i][None], boxes)[0]  # (N,)
+        if method == "linear":
+            decay = jnp.where(iou > iou_thr, 1.0 - iou, 1.0)
+        elif method == "gaussian":
+            decay = jnp.exp(-(iou * iou) / sigma)
+        else:  # naive == hard nms
+            decay = jnp.where(iou > iou_thr, 0.0, 1.0)
+        new_live = jnp.where(live > neg_inf, live * decay, live)
+        new_live = new_live.at[i].set(neg_inf)  # remove selected
+        out_idx = out_idx.at[out_n].set(jnp.where(take, i, 0))
+        out_score = out_score.at[out_n].set(jnp.where(take, s_i, 0.0))
+        out_n = out_n + jnp.where(take, 1, 0)
+        return (
+            jnp.where(take, new_live, live),
+            out_idx,
+            out_score,
+            out_n,
+        )
+
+    out_idx = jnp.zeros(max_out, jnp.int32)
+    out_score = jnp.zeros(max_out, jnp.float32)
+    live, out_idx, out_score, out_n = jax.lax.fori_loop(
+        0, max_out, body, (live, out_idx, out_score, jnp.asarray(0, jnp.int32))
+    )
+    out_valid = jnp.arange(max_out) < out_n
+    return boxes[out_idx], out_score, out_valid
+
+
+def multiclass_nms(
+    boxes: jnp.ndarray,  # (N, 4) or (N, C*4) class-specific boxes
+    scores: jnp.ndarray,  # (N, C) — column 0 is background, ignored
+    valid: jnp.ndarray,  # (N,) bool
+    score_thr: float,
+    iou_thr: float,
+    max_per_img: int,
+    class_chunk: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-class NMS over all foreground classes, then global top-k.
+
+    Parity: /root/reference/mmdet/core/post_processing/bbox_nms.py:6-66 —
+    the reference loops over 1230 classes on GPU; here classes are a vmapped
+    batch dimension processed in chunks (bounding the NxN IoU workspace),
+    every chunk running the fixpoint NMS above.
+
+    Returns (det_boxes (M,4), det_scores (M,), det_labels (M,) int32 0-based,
+    det_valid (M,) bool), M = max_per_img, sorted by score desc.
+    """
+    n, c = scores.shape
+    num_fg = c - 1
+    class_specific = boxes.shape[-1] != 4
+
+    def one_class(cls_boxes, cls_scores):
+        keep = nms_keep(
+            cls_boxes, cls_scores, valid & (cls_scores > score_thr), iou_thr
+        )
+        return keep
+
+    def chunk_fn(args):
+        cb, cs = args  # (K, N, 4), (K, N)
+        return jax.vmap(one_class)(cb, cs)
+
+    # build per-class box/score stacks lazily per chunk to cap memory
+    keeps = []
+    fg_scores = scores[:, 1:]  # (N, num_fg)
+    for start in range(0, num_fg, class_chunk):
+        end = min(start + class_chunk, num_fg)
+        cs = fg_scores[:, start:end].T  # (K, N)
+        if class_specific:
+            cb = boxes.reshape(n, c, 4)[:, 1 + start : 1 + end].transpose(1, 0, 2)
+        else:
+            cb = jnp.broadcast_to(boxes, (end - start, n, 4))
+        keeps.append(chunk_fn((cb, cs)))
+    keep_all = jnp.concatenate(keeps, axis=0)  # (num_fg, N)
+
+    cand_scores = jnp.where(
+        keep_all & valid[None, :] & (fg_scores.T > score_thr), fg_scores.T, -jnp.inf
+    ).reshape(-1)
+    top_scores, flat_idx = jax.lax.top_k(cand_scores, max_per_img)
+    det_valid = jnp.isfinite(top_scores)
+    cls_idx = (flat_idx // n).astype(jnp.int32)  # 0-based fg label
+    box_idx = flat_idx % n
+    if class_specific:
+        det_boxes = boxes.reshape(n, c, 4)[box_idx, cls_idx + 1]
+    else:
+        det_boxes = boxes[box_idx]
+    return (
+        det_boxes,
+        jnp.where(det_valid, top_scores, 0.0),
+        cls_idx,
+        det_valid,
+    )
