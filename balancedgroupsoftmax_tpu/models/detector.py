@@ -1,0 +1,299 @@
+"""Two-stage detectors (Faster R-CNN host for BAGS) as one flax module.
+
+Parity: /root/reference/mmdet/models/detectors/two_stage.py
+(forward_train :134-265, simple_test :267-290) and
+mmdet/models/detectors/group_softmax.py (the BAGS detector is a
+TwoStageDetector whose bbox head is grouped-softmax).
+
+TPU-native restructuring: the per-image python loops of the reference
+(assign/sample per image :190-210, proposal lists, per-class NMS) are
+vmapped fixed-capacity tensor ops; the whole train forward — backbone to
+losses — is a single jittable function of (params, batch, rng). Sampling
+randomness uses flax's 'sampling' RNG stream instead of host np.random.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DetectorConfig
+from ..core.anchors import multilevel_anchors
+from ..core.targets import roi_targets_single
+from ..gs.head import gs_loss, gs_merge_scores
+from ..gs.partition import GSPartition
+from ..ops.boxes import delta2bbox
+from ..ops.nms import multiclass_nms
+from ..ops.roi_align import multilevel_roi_align
+from .bbox_head import SharedFCBBoxHead, bbox_head_loss, bbox_reg_loss
+from .fpn import FPN
+from .resnet import ResNet
+from .rpn import RPNHead, rpn_loss, rpn_proposals_single
+
+
+class Detections(NamedTuple):
+    boxes: jnp.ndarray  # (B, M, 4)
+    scores: jnp.ndarray  # (B, M)
+    labels: jnp.ndarray  # (B, M) int32, 0-based fg class
+    valid: jnp.ndarray  # (B, M) bool
+
+
+class FasterRCNN(nn.Module):
+    cfg: DetectorConfig
+    partition: Optional[GSPartition] = None  # required when cfg.bbox_head.use_gs
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.backbone = ResNet(
+            depth=c.backbone.depth,
+            groups=c.backbone.groups,
+            base_width=c.backbone.base_width,
+            dtype=self.dtype,
+            name="backbone",
+        )
+        self.neck = FPN(
+            out_channels=c.fpn.out_channels,
+            num_outs=c.fpn.num_outs,
+            dtype=self.dtype,
+            name="neck",
+        )
+        self.rpn_head = RPNHead(
+            feat_channels=c.fpn.out_channels,
+            num_anchors=c.anchors.num_base_anchors,
+            dtype=self.dtype,
+            name="rpn_head",
+        )
+        self.bbox_head = SharedFCBBoxHead(c.bbox_head, dtype=self.dtype, name="bbox_head")
+
+    # --- building blocks -------------------------------------------------
+    def extract_feats(self, images: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        """images (B, H, W, 3) -> FPN levels ((B, H/4, W/4, C), ...)."""
+        return self.neck(self.backbone(images))
+
+    def rpn(self, feats):
+        return self.rpn_head(feats)
+
+    def roi_head(self, roi_feats):
+        return self.bbox_head(roi_feats)
+
+    def __call__(self, images):
+        """Init/trace convenience: full forward producing rpn + dummy roi out."""
+        feats = self.extract_feats(images)
+        rpn_outs = self.rpn_head(feats)
+        b = images.shape[0]
+        s = self.cfg.roi_extractor.out_size
+        dummy_rois = jnp.zeros((b * 4, s, s, self.cfg.fpn.out_channels), self.dtype)
+        cls, reg = self.bbox_head(dummy_rois)
+        return rpn_outs, cls, reg
+
+    # --- anchors (host-side constants, folded by XLA) --------------------
+    def _anchors(self):
+        c = self.cfg
+        h, w = c.image_size
+        sizes = [(-(-h // s), -(-w // s)) for s in c.anchors.strides]
+        per_level = multilevel_anchors(
+            sizes, c.anchors.strides, c.anchors.scales, c.anchors.ratios
+        )
+        return [jnp.asarray(a) for a in per_level]
+
+    # --- training --------------------------------------------------------
+    def loss(
+        self,
+        images: jnp.ndarray,  # (B, H, W, 3) normalized, padded bucket
+        gt_boxes: jnp.ndarray,  # (B, G, 4)
+        gt_labels: jnp.ndarray,  # (B, G) int32 1-based
+        gt_mask: jnp.ndarray,  # (B, G) bool
+        img_shapes: jnp.ndarray,  # (B, 2) float32 — content (h, w) pre-padding
+    ) -> Dict[str, jnp.ndarray]:
+        c = self.cfg
+        b = images.shape[0]
+        key = self.make_rng("sampling")
+        k_rpn, k_roi = jax.random.split(key)
+
+        feats = self.extract_feats(images)
+        rpn_outs = self.rpn_head(feats)
+
+        anchors = self._anchors()
+        anchors_flat = jnp.concatenate(anchors, axis=0)
+        anchor_valid = jnp.ones(anchors_flat.shape[0], dtype=bool)
+
+        # RPN losses (batched over images inside rpn_loss)
+        loss_rpn_cls, loss_rpn_bbox = rpn_loss(
+            rpn_outs,
+            anchors_flat,
+            anchor_valid,
+            gt_boxes,
+            gt_mask,
+            c.image_size,
+            jax.random.split(k_rpn, b),
+            c.rpn_train,
+        )
+
+        # proposals (no gradient through RPN outputs here, two_stage.py treats
+        # proposal generation as a detached op)
+        def one_image_proposals(level_outs, shape):
+            return rpn_proposals_single(
+                level_outs, anchors, (shape[0], shape[1]), c.rpn_proposal_train
+            )
+
+        detached = [
+            (jax.lax.stop_gradient(cm), jax.lax.stop_gradient(rm))
+            for cm, rm in rpn_outs
+        ]
+        proposals = jax.vmap(one_image_proposals)(detached, img_shapes)
+
+        # RoI targets per image
+        roi_keys = jax.random.split(k_roi, b)
+        targets = jax.vmap(
+            lambda k, pb, pv, gb, gl, gm: roi_targets_single(
+                k,
+                pb,
+                pv,
+                gb,
+                gl,
+                gm,
+                c.rcnn_train,
+                target_means=c.bbox_head.target_means,
+                target_stds=c.bbox_head.target_stds,
+            )
+        )(
+            roi_keys,
+            proposals.boxes,
+            proposals.valid,
+            gt_boxes,
+            gt_labels,
+            gt_mask,
+        )
+
+        # RoIAlign over FPN levels, batched over images
+        pooled = jax.vmap(
+            lambda per_img_feats, rois: multilevel_roi_align(
+                per_img_feats,
+                rois,
+                c.roi_extractor.featmap_strides,
+                c.roi_extractor.out_size,
+                c.roi_extractor.sample_num,
+                c.roi_extractor.finest_scale,
+            )
+        )(feats[: len(c.roi_extractor.featmap_strides)], targets.rois)
+
+        cls_logits, bbox_deltas = self.bbox_head(pooled)
+
+        s = c.rcnn_train.sampler.num
+        flat = lambda x: x.reshape(b * s, *x.shape[2:])
+        losses: Dict[str, jnp.ndarray] = {
+            "loss_rpn_cls": loss_rpn_cls,
+            "loss_rpn_bbox": loss_rpn_bbox,
+        }
+        if c.bbox_head.use_gs:
+            gs_losses = gs_loss(
+                self.make_rng("sampling"),
+                flat(cls_logits),
+                flat(targets.labels),
+                flat(targets.roi_valid),
+                self.partition,
+                c.bbox_head.gs.others_sample_ratio,
+            )
+            losses.update(gs_losses)
+            # bbox regression identical to the plain head (gs_bbox_head_with0.py:173-186)
+            losses["loss_bbox"] = bbox_reg_loss(
+                flat(bbox_deltas),
+                flat(targets.labels),
+                flat(targets.bbox_targets),
+                flat(targets.bbox_weights),
+                reg_class_agnostic=c.bbox_head.reg_class_agnostic,
+            )
+        else:
+            loss_cls, loss_bbox, acc = bbox_head_loss(
+                flat(cls_logits),
+                flat(bbox_deltas),
+                flat(targets.labels),
+                flat(targets.label_weights),
+                flat(targets.bbox_targets),
+                flat(targets.bbox_weights),
+                reg_class_agnostic=c.bbox_head.reg_class_agnostic,
+            )
+            losses["loss_cls"] = loss_cls
+            losses["loss_bbox"] = loss_bbox
+            losses["acc"] = acc
+        return losses
+
+    # --- inference -------------------------------------------------------
+    def predict(
+        self,
+        images: jnp.ndarray,  # (B, H, W, 3)
+        img_shapes: jnp.ndarray,  # (B, 2) content (h, w) in network scale
+        scale_factors: jnp.ndarray,  # (B,) resize factor (network/original)
+        rescale: bool = True,
+    ) -> Detections:
+        """simple_test parity (two_stage.py:267-290 + test_mixins.py:39-68)."""
+        c = self.cfg
+        feats = self.extract_feats(images)
+        rpn_outs = self.rpn_head(feats)
+        anchors = self._anchors()
+
+        proposals = jax.vmap(
+            lambda lo, shape: rpn_proposals_single(
+                lo, anchors, (shape[0], shape[1]), c.rpn_proposal_test
+            )
+        )(rpn_outs, img_shapes)
+
+        pooled = jax.vmap(
+            lambda per_img_feats, rois: multilevel_roi_align(
+                per_img_feats,
+                rois,
+                c.roi_extractor.featmap_strides,
+                c.roi_extractor.out_size,
+                c.roi_extractor.sample_num,
+                c.roi_extractor.finest_scale,
+            )
+        )(feats[: len(c.roi_extractor.featmap_strides)], proposals.boxes)
+
+        cls_logits, bbox_deltas = self.bbox_head(pooled)
+
+        if c.bbox_head.use_gs:
+            scores = jax.vmap(lambda lg: gs_merge_scores(lg, self.partition))(
+                cls_logits
+            )
+        else:
+            scores = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
+
+        def decode_and_nms(rois, deltas, sc, valid, shape, sf):
+            boxes = delta2bbox(
+                rois,
+                deltas.astype(jnp.float32),
+                c.bbox_head.target_means,
+                c.bbox_head.target_stds,
+                max_shape=(shape[0], shape[1]),
+            )
+            if rescale:
+                boxes = boxes / sf
+            return multiclass_nms(
+                boxes,
+                sc,
+                valid,
+                c.rcnn_test.score_thr,
+                c.rcnn_test.nms_iou_thr,
+                c.rcnn_test.max_per_img,
+            )
+
+        db, ds, dl, dv = jax.vmap(decode_and_nms)(
+            proposals.boxes,
+            bbox_deltas,
+            scores,
+            proposals.valid,
+            img_shapes,
+            scale_factors,
+        )
+        return Detections(boxes=db, scores=ds, labels=dl, valid=dv)
+
+
+def build_detector(cfg: DetectorConfig, partition=None, dtype=jnp.float32) -> FasterRCNN:
+    if cfg.bbox_head.use_gs and partition is None:
+        raise ValueError("GS head requires a GSPartition")
+    return FasterRCNN(cfg=cfg, partition=partition, dtype=dtype)

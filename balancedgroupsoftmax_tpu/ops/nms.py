@@ -78,10 +78,15 @@ def nms(
     descending score order — the shape-stable analogue of the reference
     `nms(dets)[:nms_post]` pattern (rpn_head.py:92-93).
     """
+    n = boxes.shape[0]
     keep = nms_keep(boxes, scores, valid, iou_thr)
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     kept_scores = jnp.where(keep, scores, neg_inf)
-    top_scores, inds = jax.lax.top_k(kept_scores, max_out)
+    k = min(max_out, n)
+    top_scores, inds = jax.lax.top_k(kept_scores, k)
+    if k < max_out:  # fewer candidates than the output capacity: pad
+        top_scores = jnp.concatenate([top_scores, jnp.full(max_out - k, neg_inf)])
+        inds = jnp.concatenate([inds, jnp.zeros(max_out - k, inds.dtype)])
     out_valid = jnp.isfinite(top_scores)
     return boxes[inds], jnp.where(out_valid, top_scores, 0.0), out_valid
 
