@@ -150,7 +150,7 @@ def multiclass_nms(
     score_thr: float,
     iou_thr: float,
     max_per_img: int,
-    class_chunk: int = 128,
+    class_chunk: int = 32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-class NMS over all foreground classes, then global top-k.
 
@@ -167,27 +167,35 @@ def multiclass_nms(
     class_specific = boxes.shape[-1] != 4
 
     def one_class(cls_boxes, cls_scores):
-        keep = nms_keep(
+        return nms_keep(
             cls_boxes, cls_scores, valid & (cls_scores > score_thr), iou_thr
         )
-        return keep
+
+    fg_scores = scores[:, 1:]  # (N, num_fg)
+    # pad the class dim to a multiple of class_chunk, then lax.map over chunks
+    # so only one (K, N, N) IoU workspace is live at a time.
+    k = min(class_chunk, num_fg)
+    num_chunks = -(-num_fg // k)
+    pad = num_chunks * k - num_fg
+    cs_all = jnp.pad(fg_scores.T, ((0, pad), (0, 0)))  # (num_chunks*k, N)
+    if class_specific:
+        cb_all = jnp.pad(
+            boxes.reshape(n, c, 4)[:, 1:].transpose(1, 0, 2), ((0, pad), (0, 0), (0, 0))
+        )
+        cb_all = cb_all.reshape(num_chunks, k, n, 4)
+    cs_all = cs_all.reshape(num_chunks, k, n)
 
     def chunk_fn(args):
-        cb, cs = args  # (K, N, 4), (K, N)
+        if class_specific:
+            cb, cs = args
+        else:
+            cs = args
+            cb = jnp.broadcast_to(boxes, (k, n, 4))
         return jax.vmap(one_class)(cb, cs)
 
-    # build per-class box/score stacks lazily per chunk to cap memory
-    keeps = []
-    fg_scores = scores[:, 1:]  # (N, num_fg)
-    for start in range(0, num_fg, class_chunk):
-        end = min(start + class_chunk, num_fg)
-        cs = fg_scores[:, start:end].T  # (K, N)
-        if class_specific:
-            cb = boxes.reshape(n, c, 4)[:, 1 + start : 1 + end].transpose(1, 0, 2)
-        else:
-            cb = jnp.broadcast_to(boxes, (end - start, n, 4))
-        keeps.append(chunk_fn((cb, cs)))
-    keep_all = jnp.concatenate(keeps, axis=0)  # (num_fg, N)
+    keep_all = jax.lax.map(
+        chunk_fn, (cb_all, cs_all) if class_specific else cs_all
+    ).reshape(num_chunks * k, n)[:num_fg]
 
     cand_scores = jnp.where(
         keep_all & valid[None, :] & (fg_scores.T > score_thr), fg_scores.T, -jnp.inf

@@ -1,0 +1,67 @@
+"""Model zoo: canonical configurations mirroring the reference config families.
+
+Reference: /root/reference/configs/ — baselines/, bags/, transferred/,
+ablations/ (45 python-module configs, README.md:133-137). Here each family is
+a constructor returning (DetectorConfig, TrainConfig); the full sweep of
+ablation knobs (bin counts, bg ratio, selectp scope) are arguments.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from .config import (
+    BackboneConfig,
+    BBoxHeadConfig,
+    DetectorConfig,
+    GSConfig,
+    TrainConfig,
+)
+
+
+def faster_rcnn_r50_fpn_lvis(
+    num_classes: int = 1231,
+    image_size: Tuple[int, int] = (800, 1344),
+) -> Tuple[DetectorConfig, TrainConfig]:
+    """configs/baselines/faster_rcnn_r50_fpn_1x_lvis.py equivalent."""
+    det = DetectorConfig(
+        bbox_head=BBoxHeadConfig(num_classes=num_classes),
+        image_size=image_size,
+    )
+    return det, TrainConfig()
+
+
+def gs_faster_rcnn_r50_fpn_lvis(
+    num_classes: int = 1231,
+    image_size: Tuple[int, int] = (800, 1344),
+    num_bins: int = 5,
+    others_sample_ratio: float = 8.0,
+    partition_path: Optional[str] = None,
+) -> Tuple[DetectorConfig, TrainConfig]:
+    """configs/bags/gs_faster_rcnn_r50_fpn_1x_lvis_with0_bg8.py equivalent.
+
+    Phase-2 recipe: selectp=1 (only fc_cls trains) warm-started from the
+    baseline checkpoint (bg8.py:193,198).
+    """
+    det = DetectorConfig(
+        bbox_head=BBoxHeadConfig(
+            num_classes=num_classes,
+            use_gs=True,
+            gs=GSConfig(
+                num_bins=num_bins,
+                others_sample_ratio=others_sample_ratio,
+                partition_path=partition_path,
+            ),
+        ),
+        image_size=image_size,
+    )
+    return det, TrainConfig(selectp=1)
+
+
+def faster_rcnn_x101_64x4d_fpn_lvis(num_classes: int = 1231):
+    """X101-64x4d backbone variant (configs/bags/gs_faster_rcnn_x101...)."""
+    det = DetectorConfig(
+        backbone=BackboneConfig(depth=101, groups=64, base_width=4),
+        bbox_head=BBoxHeadConfig(num_classes=num_classes),
+    )
+    return det, TrainConfig()

@@ -1,0 +1,73 @@
+"""Benchmark: BAGS Faster R-CNN R50-FPN inference throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline context (BASELINE.md): the reference publishes no speed numbers;
+the north star is >= 2x an A100 running the mmdetection stack. We use an
+estimated 25 images/sec/chip for A100 fp16 Faster R-CNN R50-FPN @ 800x1333
+single-image inference (mmdetection model-zoo-era measurements) as the
+denominator, so vs_baseline = ours / 25.0.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_BASELINE_IMG_PER_SEC = 25.0
+BATCH = 4
+WARMUP = 2
+ITERS = 5
+
+
+def main():
+    from balancedgroupsoftmax_tpu.gs.partition import synthetic_partition
+    from balancedgroupsoftmax_tpu.models.detector import build_detector
+    from balancedgroupsoftmax_tpu.zoo import gs_faster_rcnn_r50_fpn_lvis
+
+    det_cfg, _ = gs_faster_rcnn_r50_fpn_lvis()
+    partition = synthetic_partition(det_cfg.bbox_head.num_classes)
+    model = build_detector(det_cfg, partition=partition, dtype=jnp.bfloat16)
+
+    h, w = det_cfg.image_size
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)))
+
+    @jax.jit
+    def forward(variables, images, img_shapes, scale_factors):
+        return model.apply(
+            variables, images, img_shapes, scale_factors, method="predict"
+        )
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(BATCH, h, w, 3), jnp.float32)
+    img_shapes = jnp.tile(jnp.asarray([[float(h), float(w)]]), (BATCH, 1))
+    scale_factors = jnp.ones((BATCH,), jnp.float32)
+
+    for _ in range(WARMUP):
+        dets = forward(variables, images, img_shapes, scale_factors)
+        jax.block_until_ready(dets)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        dets = forward(variables, images, img_shapes, scale_factors)
+        jax.block_until_ready(dets)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec/chip (BAGS Faster R-CNN R50-FPN, 1231-class GS head, 800x1344, bf16, batch 8, single chip inference)",
+                "value": round(imgs_per_sec, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
