@@ -1,0 +1,226 @@
+"""Checkpointing: orbax save/resume + torch weight conversion + warm start.
+
+Parity notes:
+- The reference warm-starts BAGS training from the baseline checkpoint with
+  a non-strict load: the resized fc_cls (1231 -> 1236 logits) stays freshly
+  initialized (configs/bags/*.py `load_from`, mmcv non-strict
+  load_checkpoint; SURVEY.md §5 checkpoint/resume). `warm_start` reproduces
+  exactly that: copy every leaf whose path+shape matches, keep the fresh
+  init elsewhere, and report both lists.
+- `convert_torchvision_resnet` maps torchvision resnet50/101 state_dicts
+  (the reference's pretrained='torchvision://resnet50', bg8.py:4) onto our
+  flax ResNet: conv OIHW -> HWIO, BN running stats -> batch_stats.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# orbax save / restore
+# --------------------------------------------------------------------------
+def save_checkpoint(path: str, state: Any) -> None:
+    import jax
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    # 0-d python/numpy scalars are not supported by orbax: lift to arrays
+    state = jax.tree_util.tree_map(np.asarray, state)
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path: str, target: Any = None) -> Any:
+    import jax
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if target is None:
+        return ckptr.restore(path)
+    target = jax.tree_util.tree_map(np.asarray, target)
+    return ckptr.restore(path, target)
+
+
+# --------------------------------------------------------------------------
+# warm start (non-strict load, mmcv parity)
+# --------------------------------------------------------------------------
+def warm_start(init_params: Any, loaded_params: Any) -> Tuple[Any, List[str], List[str]]:
+    """Copy every leaf with matching path+shape from loaded into init.
+
+    Returns (params, copied_paths, skipped_paths). Shape-mismatched or
+    missing leaves keep their fresh initialization — the mechanism that
+    lets the widened GS fc_cls start fresh while everything else warm-starts.
+    """
+    import jax
+
+    copied: List[str] = []
+    skipped: List[str] = []
+
+    flat_loaded = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_leaves_with_path(loaded_params)
+    }
+
+    def merge(path, init_leaf):
+        name = jax.tree_util.keystr(path)
+        if name in flat_loaded and tuple(flat_loaded[name].shape) == tuple(
+            init_leaf.shape
+        ):
+            copied.append(name)
+            return np.asarray(flat_loaded[name], dtype=np.asarray(init_leaf).dtype)
+        skipped.append(name)
+        return init_leaf
+
+    out = jax.tree_util.tree_map_with_path(merge, init_params)
+    return out, copied, skipped
+
+
+# --------------------------------------------------------------------------
+# torchvision -> flax ResNet conversion
+# --------------------------------------------------------------------------
+def _conv(w) -> np.ndarray:
+    # torch OIHW -> flax HWIO
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def convert_torchvision_resnet(state_dict: Dict[str, Any], depth: int = 50):
+    """torchvision resnet state_dict -> (params, batch_stats) for models.resnet.
+
+    Accepts tensors or numpy arrays (call .numpy() upstream for torch).
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items() if "num_batches" not in k}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+
+    def bn(dst, src):
+        put(params, dst + ("scale",), sd[src + ".weight"])
+        put(params, dst + ("bias",), sd[src + ".bias"])
+        put(stats, dst + ("mean",), sd[src + ".running_mean"])
+        put(stats, dst + ("var",), sd[src + ".running_var"])
+
+    put(params, ("conv1", "kernel"), _conv(sd["conv1.weight"]))
+    bn(("bn1",), "bn1")
+
+    from ..models.resnet import ARCH_SETTINGS
+
+    blocks = ARCH_SETTINGS[depth]
+    for stage, num_blocks in enumerate(blocks):
+        for b in range(num_blocks):
+            src = f"layer{stage + 1}.{b}"
+            dst = f"layer{stage + 1}_block{b}"
+            for i in (1, 2, 3):
+                put(
+                    params,
+                    (dst, f"conv{i}", "kernel"),
+                    _conv(sd[f"{src}.conv{i}.weight"]),
+                )
+                bn((dst, f"bn{i}"), f"{src}.bn{i}")
+            if f"{src}.downsample.0.weight" in sd:
+                put(
+                    params,
+                    (dst, "downsample_conv", "kernel"),
+                    _conv(sd[f"{src}.downsample.0.weight"]),
+                )
+                bn((dst, "downsample_bn"), f"{src}.downsample.1")
+    return params, stats
+
+
+def load_torchvision_resnet(path: str, depth: int = 50):
+    """Load a torchvision resnet .pth and convert (torch cpu required)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    return convert_torchvision_resnet(sd, depth)
+
+
+# --------------------------------------------------------------------------
+# mmdet checkpoint conversion (full detector, for parity verification)
+# --------------------------------------------------------------------------
+def _fc_from_torch(w: np.ndarray, roi: int = None, channels: int = None) -> np.ndarray:
+    """torch Linear weight (out, in) -> flax kernel (in, out); when the input
+    is flattened RoI features, reorder from torch's (C, H, W) flattening to
+    our (H, W, C)."""
+    w = np.asarray(w)
+    if roi is not None:
+        out_dim, in_dim = w.shape
+        w = w.reshape(out_dim, channels, roi, roi)  # (O, C, H, W)
+        w = np.transpose(w, (0, 2, 3, 1)).reshape(out_dim, in_dim)  # -> (O, HWC)
+    return w.T
+
+
+def convert_mmdet_faster_rcnn(
+    state_dict: Dict[str, Any],
+    depth: int = 50,
+    roi_size: int = 7,
+    roi_channels: int = 256,
+):
+    """mmdet v1 Faster R-CNN (or GS) checkpoint -> our (params, batch_stats).
+
+    Name map: backbone.* -> backbone/*, neck.lateral_convs.{i}.conv ->
+    neck/lateral{i}, neck.fpn_convs.{i}.conv -> neck/fpn{i}, rpn_head.* ->
+    rpn_head/*, bbox_head.shared_fcs.{i} -> bbox_head/shared_fc{i},
+    bbox_head.fc_cls/fc_reg -> bbox_head/fc_cls|fc_reg.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items() if "num_batches" not in k}
+    bb = {k[len("backbone.") :]: v for k, v in sd.items() if k.startswith("backbone.")}
+    params, stats = convert_torchvision_resnet(bb, depth)
+    params = {"backbone": params}
+    stats = {"backbone": stats}
+
+    neck: Dict[str, Any] = {}
+    i = 0
+    while f"neck.lateral_convs.{i}.conv.weight" in sd:
+        neck[f"lateral{i}"] = dict(
+            kernel=_conv(sd[f"neck.lateral_convs.{i}.conv.weight"]),
+            bias=sd[f"neck.lateral_convs.{i}.conv.bias"],
+        )
+        neck[f"fpn{i}"] = dict(
+            kernel=_conv(sd[f"neck.fpn_convs.{i}.conv.weight"]),
+            bias=sd[f"neck.fpn_convs.{i}.conv.bias"],
+        )
+        i += 1
+    params["neck"] = neck
+
+    params["rpn_head"] = dict(
+        rpn_conv=dict(kernel=_conv(sd["rpn_head.rpn_conv.weight"]), bias=sd["rpn_head.rpn_conv.bias"]),
+        rpn_cls=dict(kernel=_conv(sd["rpn_head.rpn_cls.weight"]), bias=sd["rpn_head.rpn_cls.bias"]),
+        rpn_reg=dict(kernel=_conv(sd["rpn_head.rpn_reg.weight"]), bias=sd["rpn_head.rpn_reg.bias"]),
+    )
+
+    head: Dict[str, Any] = {}
+    j = 0
+    while f"bbox_head.shared_fcs.{j}.weight" in sd:
+        head[f"shared_fc{j}"] = dict(
+            kernel=_fc_from_torch(
+                sd[f"bbox_head.shared_fcs.{j}.weight"],
+                roi=roi_size if j == 0 else None,
+                channels=roi_channels,
+            ),
+            bias=sd[f"bbox_head.shared_fcs.{j}.bias"],
+        )
+        j += 1
+    head["fc_cls"] = dict(
+        kernel=_fc_from_torch(sd["bbox_head.fc_cls.weight"]),
+        bias=sd["bbox_head.fc_cls.bias"],
+    )
+    head["fc_reg"] = dict(
+        kernel=_fc_from_torch(sd["bbox_head.fc_reg.weight"]),
+        bias=sd["bbox_head.fc_reg.bias"],
+    )
+    params["bbox_head"] = head
+    return params, stats
