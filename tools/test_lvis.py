@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Inference + LVIS evaluation CLI.
+
+Parity: /root/reference/tools/test_lvis.py — batch inference over LVIS val,
+result JSON writing (lvis_utils.py conventions), optional τ-norm classifier
+reweighting (--tau, test_lvis.py:135-159), then the federated evaluator.
+
+Usage:
+  python tools/test_lvis.py --model gs_faster_rcnn_r50 \
+      --ann data/lvis/lvis_v0.5_val.json --img-prefix data/lvis/val2017 \
+      --partition data/lvis/gs_partition.npz \
+      --checkpoint work_dirs/bags/ckpt_epoch_12 --out results.json
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="faster_rcnn_r50",
+                   choices=["faster_rcnn_r50", "gs_faster_rcnn_r50", "faster_rcnn_x101"])
+    p.add_argument("--ann", required=True)
+    p.add_argument("--img-prefix", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--partition", default=None)
+    p.add_argument("--out", default=None, help="write result records json")
+    p.add_argument("--tau", type=float, default=None,
+                   help="tau-normalize fc_cls rows by 1/||w||^tau (test_lvis.py:135)")
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--limit", type=int, default=None, help="eval first N images")
+    p.add_argument("--no-eval", action="store_true")
+    return p.parse_args()
+
+
+def tau_norm(params, tau: float):
+    """Scale fc_cls weight rows by 1/||w||^tau (reweight_cls parity).
+
+    The reference normalizes per-class rows of the classifier weight at
+    test time; bias left untouched."""
+    w = np.asarray(params["bbox_head"]["fc_cls"]["kernel"])  # (in, out)
+    norms = np.linalg.norm(w, axis=0, keepdims=True)  # (1, out)
+    w = w / np.maximum(norms, 1e-12) ** tau
+    params = dict(params)
+    params["bbox_head"] = dict(params["bbox_head"])
+    params["bbox_head"]["fc_cls"] = dict(params["bbox_head"]["fc_cls"], kernel=w)
+    return params
+
+
+def main():
+    args = parse_args()
+
+    from balancedgroupsoftmax_tpu import zoo
+    from balancedgroupsoftmax_tpu.data.lvis import LvisDataset
+    from balancedgroupsoftmax_tpu.data.pipeline import (
+        LANDSCAPE_BUCKET, PORTRAIT_BUCKET, PipelineConfig, preprocess_image,
+    )
+    from balancedgroupsoftmax_tpu.eval.lvis_eval import LvisEvaluator
+    from balancedgroupsoftmax_tpu.eval.results import detections_to_records
+    from balancedgroupsoftmax_tpu.gs.partition import load_partition
+    from balancedgroupsoftmax_tpu.models.detector import build_detector
+    from balancedgroupsoftmax_tpu.utils.checkpoint import restore_checkpoint, warm_start
+
+    builders = {
+        "faster_rcnn_r50": zoo.faster_rcnn_r50_fpn_lvis,
+        "gs_faster_rcnn_r50": zoo.gs_faster_rcnn_r50_fpn_lvis,
+        "faster_rcnn_x101": zoo.faster_rcnn_x101_64x4d_fpn_lvis,
+    }
+    det_cfg, _ = builders[args.model]()
+    partition = load_partition(args.partition) if args.partition else None
+
+    ds = LvisDataset(args.ann, args.img_prefix, test_mode=True)
+    pcfg = PipelineConfig()
+
+    loaded = restore_checkpoint(args.checkpoint)
+    params = loaded["params"] if "params" in loaded else loaded
+    if args.tau is not None:
+        params = tau_norm(params, args.tau)
+
+    records = []
+    import cv2
+
+    n = min(len(ds), args.limit or len(ds))
+
+    # two static buckets -> two compiled programs
+    models = {}
+    for bucket in (LANDSCAPE_BUCKET, PORTRAIT_BUCKET):
+        import dataclasses
+
+        cfg_b = dataclasses.replace(det_cfg, image_size=bucket)
+        model = build_detector(cfg_b, partition=partition)
+        fn = jax.jit(
+            lambda v, im, sh, sf, m=model: m.apply(v, im, sh, sf, method="predict")
+        )
+        models[bucket] = fn
+
+    variables = {"params": params,
+                 "batch_stats": loaded.get("batch_stats", {})}
+
+    t0 = time.time()
+    batch_buf = {LANDSCAPE_BUCKET: [], PORTRAIT_BUCKET: []}
+
+    def flush(bucket):
+        buf = batch_buf[bucket]
+        if not buf:
+            return
+        pad = args.batch_size - len(buf)
+        samples = [s for _, s in buf] + [buf[-1][1]] * pad
+        images = jnp.asarray(np.stack([s["image"] for s in samples]))
+        shapes = jnp.asarray(np.stack([s["img_shape"] for s in samples]))
+        sfs = jnp.asarray(np.stack([s["scale_factor"] for s in samples]))
+        dets = models[bucket](variables, images, shapes, sfs)
+        boxes = np.asarray(dets.boxes)
+        scores = np.asarray(dets.scores)
+        labels = np.asarray(dets.labels)
+        valid = np.asarray(dets.valid)
+        for bi, (idx, _) in enumerate(buf):
+            records.extend(
+                detections_to_records(
+                    ds.img_infos[idx]["id"], boxes[bi], scores[bi], labels[bi],
+                    valid[bi], ds.cat_ids,
+                )
+            )
+        batch_buf[bucket] = []
+
+    for idx in range(n):
+        img = cv2.cvtColor(cv2.imread(ds.image_path(idx)), cv2.COLOR_BGR2RGB)
+        s = preprocess_image(
+            img, np.zeros((0, 4), np.float32), np.zeros(0, np.int32), pcfg, False
+        )
+        bucket = s["bucket"]
+        batch_buf[bucket].append((idx, s))
+        if len(batch_buf[bucket]) == args.batch_size:
+            flush(bucket)
+        if (idx + 1) % 100 == 0:
+            print(f"{idx + 1}/{n} images, {time.time() - t0:.1f}s", flush=True)
+    for bucket in batch_buf:
+        flush(bucket)
+
+    print(f"inference done: {n} images in {time.time() - t0:.1f}s "
+          f"({n / (time.time() - t0):.2f} img/s)")
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(records, f)
+        print(f"wrote {len(records)} detections to {args.out}")
+
+    if not args.no_eval:
+        with open(args.ann) as f:
+            gt = json.load(f)
+        if args.limit:
+            keep_ids = {ds.img_infos[i]["id"] for i in range(n)}
+            gt["images"] = [i for i in gt["images"] if i["id"] in keep_ids]
+            gt["annotations"] = [
+                a for a in gt["annotations"] if a["image_id"] in keep_ids
+            ]
+        ev = LvisEvaluator(gt, records)
+        ev.run()
+        ev.print_results()
+
+
+if __name__ == "__main__":
+    main()

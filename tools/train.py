@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Training CLI — the tools/train.py of this framework.
+
+Parity: /root/reference/tools/train.py + mmdet/apis/train.py, redesigned:
+no Runner/hook system — one jitted data-parallel train step in a plain
+epoch loop with logging, checkpointing, linear-scaling LR and the
+two-phase BAGS recipe (--selectp 1 --load-from baseline_ckpt).
+
+Usage:
+  python tools/train.py --model gs_faster_rcnn_r50 \
+      --ann data/lvis/lvis_v0.5_train.json --img-prefix data/lvis/train2017 \
+      --partition data/lvis/gs_partition.npz --work-dir work_dirs/bags \
+      --load-from work_dirs/baseline/ckpt_epoch_12 --selectp 1
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="faster_rcnn_r50",
+                   choices=["faster_rcnn_r50", "gs_faster_rcnn_r50", "faster_rcnn_x101"])
+    p.add_argument("--ann", required=True)
+    p.add_argument("--img-prefix", required=True)
+    p.add_argument("--partition", default=None, help=".npz from tools/gs_partition.py")
+    p.add_argument("--work-dir", required=True)
+    p.add_argument("--load-from", default=None, help="warm start checkpoint (non-strict)")
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--pretrained-backbone", default=None, help="torchvision resnet .pth")
+    p.add_argument("--selectp", type=int, default=None,
+                   help="0 all, 1 fc_cls only, 2 bbox head (tools/train.py:143)")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None, help="global batch")
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--autoscale-lr", action="store_true",
+                   help="linear scaling rule lr *= batch/16 (train.py:107)")
+    p.add_argument("--use-rfs", action="store_true", help="repeat factor sampling")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--max-steps", type=int, default=None, help="debug cap")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    os.makedirs(args.work_dir, exist_ok=True)
+
+    from balancedgroupsoftmax_tpu import zoo
+    from balancedgroupsoftmax_tpu.data.lvis import LvisDataset
+    from balancedgroupsoftmax_tpu.data.pipeline import (
+        DetBatcher, PipelineConfig, collate, preprocess_image, repeat_factors,
+    )
+    from balancedgroupsoftmax_tpu.gs.partition import load_partition
+    from balancedgroupsoftmax_tpu.models.detector import build_detector
+    from balancedgroupsoftmax_tpu.parallel.optim import make_optimizer
+    from balancedgroupsoftmax_tpu.parallel.train import (
+        create_train_state, make_mesh, make_train_step, shard_batch, shard_train_step,
+    )
+    from balancedgroupsoftmax_tpu.utils.checkpoint import (
+        load_torchvision_resnet, restore_checkpoint, save_checkpoint, warm_start,
+    )
+
+    builders = {
+        "faster_rcnn_r50": zoo.faster_rcnn_r50_fpn_lvis,
+        "gs_faster_rcnn_r50": zoo.gs_faster_rcnn_r50_fpn_lvis,
+        "faster_rcnn_x101": zoo.faster_rcnn_x101_64x4d_fpn_lvis,
+    }
+    det_cfg, train_cfg = builders[args.model]()
+    if args.selectp is not None:
+        train_cfg = dataclasses.replace(train_cfg, selectp=args.selectp)
+    if args.epochs is not None:
+        train_cfg = dataclasses.replace(train_cfg, total_epochs=args.epochs)
+
+    n_dev = jax.device_count()
+    batch_size = args.batch_size or 2 * n_dev  # 2 imgs/device (bg8.py data)
+    lr = args.lr if args.lr is not None else train_cfg.lr
+    if args.autoscale_lr:
+        lr = lr * batch_size / 16.0
+    train_cfg = dataclasses.replace(train_cfg, lr=lr)
+
+    partition = load_partition(args.partition) if args.partition else None
+    model = build_detector(det_cfg, partition=partition)
+
+    print(f"loading dataset {args.ann}")
+    ds = LvisDataset(args.ann, args.img_prefix)
+    pcfg = PipelineConfig(max_gt_boxes=det_cfg.max_gt_boxes)
+    steps_per_epoch = max(len(ds) // batch_size, 1)
+
+    h, w = det_cfg.image_size
+    variables = model.init(jax.random.PRNGKey(args.seed), jnp.zeros((1, h, w, 3)))
+
+    if args.pretrained_backbone:
+        bb_params, bb_stats = load_torchvision_resnet(
+            args.pretrained_backbone, det_cfg.backbone.depth
+        )
+        params, copied, _ = warm_start(
+            variables["params"]["backbone"], bb_params
+        )
+        variables["params"]["backbone"] = params
+        variables["batch_stats"]["backbone"] = jax.tree_util.tree_map(
+            np.asarray, bb_stats
+        )
+        print(f"backbone warm start: {len(copied)} tensors")
+
+    if args.load_from:
+        loaded = restore_checkpoint(args.load_from)
+        params, copied, skipped = warm_start(
+            variables["params"], loaded.get("params", loaded)
+        )
+        variables = {**variables, "params": params}
+        print(f"warm start from {args.load_from}: copied {len(copied)}, "
+              f"fresh {len(skipped)} (shape-mismatched fc_cls stays fresh)")
+        if "batch_stats" in loaded:
+            variables["batch_stats"] = loaded["batch_stats"]
+
+    tx = make_optimizer(train_cfg, variables["params"], steps_per_epoch,
+                        det_cfg.backbone.frozen_stages)
+    state = create_train_state(variables, tx)
+    start_epoch = 0
+    if args.resume_from:
+        state = restore_checkpoint(args.resume_from, state)
+        start_epoch = int(state.step) // steps_per_epoch
+        print(f"resumed from {args.resume_from} at step {int(state.step)}")
+
+    mesh = make_mesh()
+    step_fn = shard_train_step(make_train_step(model, tx), mesh)
+    state = jax.device_put(
+        state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    )
+
+    # aspect-bucket flags + optional RFS
+    print("computing bucket flags")
+    flags = np.array(
+        [0 if i["width"] >= i["height"] else 1 for i in ds.img_infos], np.int64
+    )
+    repeat = None
+    if args.use_rfs:
+        labels_per_img = [ds.get_ann_info(i)["labels"] for i in range(len(ds))]
+        repeat = repeat_factors(labels_per_img, len(ds.cat_ids))
+    batcher = DetBatcher(flags, batch_size, seed=args.seed, repeat=repeat)
+
+    import cv2
+
+    def load_sample(idx, rng):
+        info = ds.img_infos[idx]
+        img = cv2.imread(ds.image_path(idx))
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        ann = ds.get_ann_info(idx)
+        return preprocess_image(img, ann["bboxes"], ann["labels"], pcfg, True, rng)
+
+    key = jax.random.PRNGKey(args.seed)
+    rng = np.random.RandomState(args.seed)
+    global_step = int(jax.device_get(state.step))
+    t_log = time.time()
+    log_path = os.path.join(args.work_dir, "train_log.jsonl")
+
+    for epoch in range(start_epoch, train_cfg.total_epochs):
+        for batch_idx in batcher.epoch_batches(epoch):
+            samples = [load_sample(i, rng) for i in batch_idx]
+            batch = collate(samples)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()
+                     if k != "scale_factors"}
+            batch = shard_batch(batch, mesh)
+            state, metrics = step_fn(state, batch, key)
+            global_step += 1
+            if global_step % args.log_interval == 0:
+                m = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                dt = (time.time() - t_log) / args.log_interval
+                t_log = time.time()
+                line = dict(epoch=epoch, step=global_step,
+                            imgs_per_sec=batch_size / dt, **m)
+                print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                                  for k, v in line.items()}))
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(line) + "\n")
+            if args.max_steps and global_step >= args.max_steps:
+                break
+        ckpt = os.path.join(args.work_dir, f"ckpt_epoch_{epoch + 1}")
+        save_checkpoint(ckpt, jax.device_get(
+            dict(params=state.params, batch_stats=state.batch_stats,
+                 step=np.asarray(int(state.step)))
+        ))
+        print(f"saved {ckpt}")
+        if args.max_steps and global_step >= args.max_steps:
+            break
+
+
+if __name__ == "__main__":
+    main()
