@@ -110,6 +110,7 @@ class RoITargets(NamedTuple):
     label_weights: jnp.ndarray  # (S,) float32
     bbox_targets: jnp.ndarray  # (S, 4)
     bbox_weights: jnp.ndarray  # (S, 4)
+    pos_gt_inds: jnp.ndarray  # (S,) int32 0-based assigned-gt index (pos slots)
     num_pos: jnp.ndarray  # () int32
     num_neg: jnp.ndarray  # () int32
 
@@ -167,6 +168,7 @@ def roi_targets_single(
         label_weights=label_weights,
         bbox_targets=bbox_targets,
         bbox_weights=bbox_weights,
+        pos_gt_inds=gt_idx.astype(jnp.int32),
         num_pos=samp.num_pos,
         num_neg=samp.num_neg,
     )

@@ -29,8 +29,10 @@ from ..gs.partition import GSPartition
 from ..ops.boxes import delta2bbox
 from ..ops.nms import multiclass_nms
 from ..ops.roi_align import multilevel_roi_align
+from ..ops.mask import mask_target_single
 from .bbox_head import SharedFCBBoxHead, bbox_head_loss, bbox_reg_loss
 from .fpn import FPN
+from .mask_head import FCNMaskHead, mask_head_loss
 from .resnet import ResNet
 from .rpn import RPNHead, rpn_loss, rpn_proposals_single
 
@@ -69,6 +71,8 @@ class FasterRCNN(nn.Module):
             name="rpn_head",
         )
         self.bbox_head = SharedFCBBoxHead(c.bbox_head, dtype=self.dtype, name="bbox_head")
+        if c.mask_head is not None:
+            self.mask_head = FCNMaskHead(c.mask_head, dtype=self.dtype, name="mask_head")
 
     # --- building blocks -------------------------------------------------
     def extract_feats(self, images: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -89,6 +93,8 @@ class FasterRCNN(nn.Module):
         s = self.cfg.roi_extractor.out_size
         dummy_rois = jnp.zeros((b * 4, s, s, self.cfg.fpn.out_channels), self.dtype)
         cls, reg = self.bbox_head(dummy_rois)
+        if self.cfg.mask_head is not None:
+            self.mask_head(dummy_rois)
         return rpn_outs, cls, reg
 
     # --- anchors (host-side constants, folded by XLA) --------------------
@@ -109,6 +115,7 @@ class FasterRCNN(nn.Module):
         gt_labels: jnp.ndarray,  # (B, G) int32 1-based
         gt_mask: jnp.ndarray,  # (B, G) bool
         img_shapes: jnp.ndarray,  # (B, 2) float32 — content (h, w) pre-padding
+        gt_mask_crops: Optional[jnp.ndarray] = None,  # (B, G, CROP, CROP)
     ) -> Dict[str, jnp.ndarray]:
         c = self.cfg
         b = images.shape[0]
@@ -221,6 +228,46 @@ class FasterRCNN(nn.Module):
             losses["loss_cls"] = loss_cls
             losses["loss_bbox"] = loss_bbox
             losses["acc"] = acc
+
+        # --- mask branch (Mask R-CNN, two_stage.py:238-262 parity) --------
+        if c.mask_head is not None and gt_mask_crops is not None:
+            # positives occupy the first S*pos_fraction slots by construction
+            # (core/sampler.py top-k ordering) — pool only that prefix.
+            mask_cap = max(int(s * c.rcnn_train.sampler.pos_fraction), 1)
+            m_rois = targets.rois[:, :mask_cap]
+            # mask branch pools at mask_size/2 (14 for 28x28 masks), the
+            # reference's separate mask_roi_extractor (mask_rcnn configs)
+            m_pooled = jax.vmap(
+                lambda per_img_feats, rois: multilevel_roi_align(
+                    per_img_feats,
+                    rois,
+                    c.roi_extractor.featmap_strides,
+                    c.mask_head.mask_size // 2,
+                    c.roi_extractor.sample_num,
+                    c.roi_extractor.finest_scale,
+                )
+            )(feats[: len(c.roi_extractor.featmap_strides)], m_rois)
+            mask_logits = self.mask_head(m_pooled)  # (B, cap, 2S, 2S, Cfg)
+            m_pos = (targets.labels[:, :mask_cap] > 0) & targets.roi_valid[:, :mask_cap]
+            m_targets = jax.vmap(
+                lambda rois, gb, gi, crops, pm: mask_target_single(
+                    rois, gb, gi, crops, pm, c.mask_head.mask_size
+                )
+            )(
+                m_rois,
+                gt_boxes,
+                targets.pos_gt_inds[:, :mask_cap],
+                gt_mask_crops,
+                m_pos,
+            )
+            flat_m = lambda x: x.reshape(b * mask_cap, *x.shape[2:])
+            losses["loss_mask"] = mask_head_loss(
+                flat_m(mask_logits),
+                flat_m(jax.lax.stop_gradient(m_targets)),
+                flat_m(targets.labels[:, :mask_cap]),
+                flat_m(m_pos),
+                class_agnostic=c.mask_head.class_agnostic,
+            )
         return losses
 
     # --- inference -------------------------------------------------------
@@ -291,6 +338,41 @@ class FasterRCNN(nn.Module):
             scale_factors,
         )
         return Detections(boxes=db, scores=ds, labels=dl, valid=dv)
+
+    def predict_masks(
+        self,
+        images: jnp.ndarray,  # (B, H, W, 3)
+        det_boxes: jnp.ndarray,  # (B, M, 4) at ORIGINAL image scale
+        det_labels: jnp.ndarray,  # (B, M) int32 0-based fg labels
+        scale_factors: jnp.ndarray,  # (B,)
+    ) -> jnp.ndarray:
+        """(B, M, 2S, 2S) sigmoid mask probabilities of each detection's class.
+
+        Parity: simple_test_mask (test_mixins.py:178) — detections rescaled
+        back to network scale, pooled, mask head applied, per-label slice.
+        """
+        c = self.cfg
+        feats = self.extract_feats(images)
+        rois = det_boxes * scale_factors[:, None, None]
+        pooled = jax.vmap(
+            lambda per_img_feats, r: multilevel_roi_align(
+                per_img_feats,
+                r,
+                c.roi_extractor.featmap_strides,
+                c.mask_head.mask_size // 2,
+                c.roi_extractor.sample_num,
+                c.roi_extractor.finest_scale,
+            )
+        )(feats[: len(c.roi_extractor.featmap_strides)], rois)
+        logits = self.mask_head(pooled)  # (B, M, 2S, 2S, num_fg)
+        if c.mask_head.class_agnostic:
+            sel = logits[..., 0]
+        else:
+            idx = jnp.clip(det_labels, 0, logits.shape[-1] - 1)
+            sel = jnp.take_along_axis(
+                logits, idx[:, :, None, None, None], axis=-1
+            )[..., 0]
+        return jax.nn.sigmoid(sel.astype(jnp.float32))
 
 
 def build_detector(cfg: DetectorConfig, partition=None, dtype=jnp.float32) -> FasterRCNN:

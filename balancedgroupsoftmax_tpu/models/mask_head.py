@@ -1,0 +1,91 @@
+"""FCN mask head (Mask R-CNN / HTC).
+
+Parity: /root/reference/mmdet/models/mask_heads/fcn_mask_head.py — 4 3x3
+convs (256 ch) + 2x deconv + 1x1 per-class mask logits; loss = binary CE on
+the target-class mask over positive rois (fcn_mask_head.py:109-123).
+HTCMaskHead (htc_mask_head.py) adds a conv_res 1x1 for the mask information
+flow, available via `with_conv_res`.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..config import MaskHeadConfig
+
+
+class FCNMaskHead(nn.Module):
+    cfg: MaskHeadConfig
+    with_conv_res: bool = False  # HTC information flow
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, res_feat=None, return_feat: bool = False):
+        """x (..., S, S, C) roi feats -> mask logits (..., 2S, 2S, num_fg)."""
+        c = self.cfg
+        if res_feat is not None:
+            res = nn.Conv(
+                c.conv_out_channels, (1, 1), dtype=self.dtype, name="conv_res"
+            )(res_feat)
+            x = x + res
+        for i in range(c.num_convs):
+            x = nn.Conv(
+                c.conv_out_channels,
+                (3, 3),
+                padding=[(1, 1), (1, 1)],
+                dtype=self.dtype,
+                kernel_init=nn.initializers.he_normal(),
+                name=f"conv{i}",
+            )(x)
+            x = nn.relu(x)
+        feat = x
+        x = nn.ConvTranspose(
+            c.conv_out_channels,
+            (2, 2),
+            strides=(2, 2),
+            dtype=self.dtype,
+            kernel_init=nn.initializers.he_normal(),
+            name="upsample",
+        )(x)
+        x = nn.relu(x)
+        num_out = 1 if c.class_agnostic else c.num_classes - 1
+        logits = nn.Conv(
+            num_out,
+            (1, 1),
+            dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.001),
+            name="conv_logits",
+        )(x)
+        if return_feat:
+            return logits, feat
+        return logits
+
+
+def mask_head_loss(
+    mask_logits: jnp.ndarray,  # (N, M, M, num_fg)
+    mask_targets: jnp.ndarray,  # (N, M, M) binary
+    labels: jnp.ndarray,  # (N,) 1-based gt class (0 = bg)
+    pos_mask: jnp.ndarray,  # (N,) bool
+    class_agnostic: bool = False,
+) -> jnp.ndarray:
+    """Binary CE on the target-class mask slice, averaged over positives
+    (fcn_mask_head.py:109-123; avg by pos count, each mask contributing its
+    mean pixel loss)."""
+    if class_agnostic:
+        sel = mask_logits[..., 0]
+    else:
+        idx = jnp.clip(labels - 1, 0, mask_logits.shape[-1] - 1)
+        sel = jnp.take_along_axis(
+            mask_logits, idx[:, None, None, None], axis=-1
+        )[..., 0]
+    # per-roi mean pixel BCE, then mean over positives
+    logits = sel.astype(jnp.float32)
+    bce = (
+        jnp.maximum(logits, 0)
+        - logits * mask_targets
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+    per = bce.mean(axis=(1, 2))
+    denom = jnp.maximum(jnp.sum(pos_mask), 1.0)
+    return jnp.sum(per * pos_mask) / denom

@@ -65,6 +65,7 @@ def make_train_step(model, tx):
             batch["gt_labels"],
             batch["gt_mask"],
             batch["img_shapes"],
+            batch.get("gt_mask_crops"),
             method="loss",
             rngs={"sampling": key},
         )

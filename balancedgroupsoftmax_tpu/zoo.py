@@ -15,6 +15,7 @@ from .config import (
     BBoxHeadConfig,
     DetectorConfig,
     GSConfig,
+    MaskHeadConfig,
     TrainConfig,
 )
 
@@ -56,6 +57,24 @@ def gs_faster_rcnn_r50_fpn_lvis(
         image_size=image_size,
     )
     return det, TrainConfig(selectp=1)
+
+
+def mask_rcnn_r50_fpn_lvis(
+    num_classes: int = 1231,
+    use_gs: bool = False,
+    partition_path: Optional[str] = None,
+) -> Tuple[DetectorConfig, TrainConfig]:
+    """configs/baselines/mask_rcnn_r50_fpn_1x_lvis.py /
+    configs/bags/gs_mask_rcnn_r50_fpn_1x_lvis_with0_bg8.py equivalents."""
+    det = DetectorConfig(
+        bbox_head=BBoxHeadConfig(
+            num_classes=num_classes,
+            use_gs=use_gs,
+            gs=GSConfig(partition_path=partition_path),
+        ),
+        mask_head=MaskHeadConfig(num_classes=num_classes),
+    )
+    return det, TrainConfig(selectp=1 if use_gs else 0)
 
 
 def faster_rcnn_x101_64x4d_fpn_lvis(num_classes: int = 1231):
