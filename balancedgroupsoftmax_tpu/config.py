@@ -146,6 +146,23 @@ class MaskHeadConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class CascadeConfig:
+    """Cascade R-CNN staging (configs/bags/gs_cascade_rcnn_x101...py).
+
+    Per-stage target stds tighten and assigner IoU thresholds rise; heads
+    are reg_class_agnostic (cascade config :60,86,112)."""
+
+    num_stages: int = 3
+    stage_loss_weights: Tuple[float, ...] = (1.0, 0.5, 0.25)
+    stage_pos_ious: Tuple[float, ...] = (0.5, 0.6, 0.7)
+    stage_target_stds: Tuple[Tuple[float, ...], ...] = (
+        (0.1, 0.1, 0.2, 0.2),
+        (0.05, 0.05, 0.1, 0.1),
+        (0.033, 0.033, 0.067, 0.067),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
 class DetectorConfig:
     """Full two-stage detector configuration."""
 
@@ -155,6 +172,7 @@ class DetectorConfig:
     roi_extractor: RoIExtractorConfig = RoIExtractorConfig()
     bbox_head: BBoxHeadConfig = BBoxHeadConfig()
     mask_head: Optional[MaskHeadConfig] = None
+    cascade: Optional[CascadeConfig] = None
     rpn_train: RPNTrainConfig = RPNTrainConfig()
     rpn_proposal_train: ProposalConfig = ProposalConfig(
         nms_pre=2000, nms_post=2000, max_num=2000
