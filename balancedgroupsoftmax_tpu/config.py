@@ -79,7 +79,8 @@ class RCNNTestConfig:
     max_per_img: int = 300
     nms_type: str = "nms"  # or "soft_nms"
     # static capacity: candidate boxes entering per-class NMS per class
-    nms_candidates_per_class: int = 1000
+    # (>= max_per_img keeps the top-300 selection near-exact; see ops/nms.py)
+    nms_candidates_per_class: int = 300
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,6 +105,13 @@ class BBoxHeadConfig:
     reg_class_agnostic: bool = False
     use_gs: bool = False
     gs: GSConfig = GSConfig()
+    # classification loss flavor: 'softmax' (default), 'focal'
+    # (transferred/*focalloss*.py), 'reweight' (ReweightBBoxHead +
+    # cls_weight file -> class_weights_path .npy of shape (num_classes,))
+    loss_cls_type: str = "softmax"
+    class_weights_path: Optional[str] = None
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
 
 
 @dataclasses.dataclass(frozen=True)

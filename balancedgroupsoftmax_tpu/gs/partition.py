@@ -143,6 +143,21 @@ def load_partition(path: str) -> GSPartition:
         )
 
 
+def class_weights_from_counts(
+    instance_counts: np.ndarray, clip: tuple = (0.1, 5.0)
+) -> np.ndarray:
+    """Per-class CE weights for the reweight baselines.
+
+    Parity: tools/lvis_analyse.py get_cate_weight (:338-367): w = 1/count,
+    normalized by the foreground mean, w[bg]=1, clipped to [0.1, 5]."""
+    counts = np.asarray(instance_counts, np.float64).copy()
+    counts[0] = 1.0
+    w = 1.0 / np.maximum(counts, 1.0)
+    w = w / w[1:].mean()
+    w[0] = 1.0
+    return np.clip(w, clip[0], clip[1]).astype(np.float32)
+
+
 def synthetic_partition(
     num_classes: int = 1231, seed: int = 0, thresholds=(10, 100, 1000)
 ) -> GSPartition:

@@ -88,17 +88,44 @@ def bbox_head_loss(
     bbox_weights: jnp.ndarray,  # (N, 4)
     reg_class_agnostic: bool = False,
     beta: float = 1.0,
+    loss_cls_type: str = "softmax",
+    class_weights: jnp.ndarray | None = None,
+    focal_gamma: float = 2.0,
+    focal_alpha: float = 0.25,
 ):
-    """Plain softmax CE + smooth-L1 (bbox_head.py:98-131 parity).
+    """Classification + smooth-L1 regression (bbox_head.py:98-131 parity).
 
+    loss_cls_type selects the reference variants: 'softmax' (default CE),
+    'focal' (transferred/*focalloss* configs — sigmoid focal over all
+    logits with one-hot targets), 'reweight' (ReweightBBoxHead per-class CE
+    weights from the cls_weight file, reweight_bbox_head.py:27-55).
     avg factors: CE by count of weighted rois; bbox by total roi count
     (bbox_head.py:110,126 — avg_factor=bbox_targets.size(0)).
     """
+    from ..ops.losses import sigmoid_focal_loss, weighted_softmax_cross_entropy_per_class
+
     n = cls_logits.shape[0]
     avg_cls = jnp.maximum(jnp.sum(label_weights > 0), 1.0)
-    loss_cls = softmax_cross_entropy(
-        cls_logits.astype(jnp.float32), labels, weight=label_weights, avg_factor=avg_cls
-    )
+    logits32 = cls_logits.astype(jnp.float32)
+    if loss_cls_type == "focal":
+        onehot = jax.nn.one_hot(labels, logits32.shape[-1], dtype=jnp.float32)
+        loss_cls = sigmoid_focal_loss(
+            logits32,
+            onehot,
+            weight=label_weights[:, None],
+            gamma=focal_gamma,
+            alpha=focal_alpha,
+            avg_factor=avg_cls,
+        )
+    elif loss_cls_type == "reweight":
+        assert class_weights is not None
+        loss_cls = weighted_softmax_cross_entropy_per_class(
+            logits32, labels, class_weights, weight=label_weights, avg_factor=avg_cls
+        )
+    else:
+        loss_cls = softmax_cross_entropy(
+            logits32, labels, weight=label_weights, avg_factor=avg_cls
+        )
     loss_bbox = bbox_reg_loss(
         bbox_deltas, labels, bbox_targets, bbox_weights, reg_class_agnostic, beta
     )

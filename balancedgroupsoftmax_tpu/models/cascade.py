@@ -284,6 +284,7 @@ class CascadeRCNN(nn.Module):
             return multiclass_nms(
                 boxes, sc, valid,
                 c.rcnn_test.score_thr, c.rcnn_test.nms_iou_thr, c.rcnn_test.max_per_img,
+                candidates_per_class=c.rcnn_test.nms_candidates_per_class,
             )
 
         db, ds, dl, dv = jax.vmap(decode_and_nms)(

@@ -47,6 +47,7 @@ class Detections(NamedTuple):
 class FasterRCNN(nn.Module):
     cfg: DetectorConfig
     partition: Optional[GSPartition] = None  # required when cfg.bbox_head.use_gs
+    class_weights: Optional[tuple] = None  # (C,) for loss_cls_type='reweight'
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -216,6 +217,11 @@ class FasterRCNN(nn.Module):
                 reg_class_agnostic=c.bbox_head.reg_class_agnostic,
             )
         else:
+            cw = (
+                jnp.asarray(np.asarray(self.class_weights))
+                if self.class_weights is not None
+                else None
+            )
             loss_cls, loss_bbox, acc = bbox_head_loss(
                 flat(cls_logits),
                 flat(bbox_deltas),
@@ -224,6 +230,10 @@ class FasterRCNN(nn.Module):
                 flat(targets.bbox_targets),
                 flat(targets.bbox_weights),
                 reg_class_agnostic=c.bbox_head.reg_class_agnostic,
+                loss_cls_type=c.bbox_head.loss_cls_type,
+                class_weights=cw,
+                focal_gamma=c.bbox_head.focal_gamma,
+                focal_alpha=c.bbox_head.focal_alpha,
             )
             losses["loss_cls"] = loss_cls
             losses["loss_bbox"] = loss_bbox
@@ -327,6 +337,7 @@ class FasterRCNN(nn.Module):
                 c.rcnn_test.score_thr,
                 c.rcnn_test.nms_iou_thr,
                 c.rcnn_test.max_per_img,
+                candidates_per_class=c.rcnn_test.nms_candidates_per_class,
             )
 
         db, ds, dl, dv = jax.vmap(decode_and_nms)(

@@ -62,6 +62,78 @@ def sigmoid_focal_loss(
     return weight_reduce(loss, weight, avg_factor)
 
 
+def weighted_softmax_cross_entropy_per_class(
+    logits, labels, class_weights, weight=None, avg_factor=None
+):
+    """CE with a per-class weight on each sample's target class.
+
+    Parity: ReweightBBoxHead (reweight_bbox_head.py:27-55) — the `cls_weight`
+    file becomes a (C,) array; sample weight *= class_weights[label].
+    """
+    cw = class_weights[labels]
+    w = cw if weight is None else weight * cw
+    return softmax_cross_entropy(logits, labels, weight=w, avg_factor=avg_factor)
+
+
+def balanced_l1(pred, target, beta=1.0, alpha=0.5, gamma=1.5, weight=None, avg_factor=None):
+    """Balanced L1 (Libra R-CNN; losses/balanced_l1_loss.py parity)."""
+    diff = jnp.abs(pred - target)
+    b = jnp.exp(gamma / alpha) - 1
+    loss = jnp.where(
+        diff < beta,
+        alpha / b * (b * diff + 1) * jnp.log(b * diff / beta + 1) - alpha * diff,
+        gamma * diff + gamma / b - alpha * beta,
+    )
+    return weight_reduce(loss, weight, avg_factor)
+
+
+def iou_loss(pred_boxes, target_boxes, weight=None, avg_factor=None, eps=1e-6):
+    """-log(IoU) loss (losses/iou_loss.py parity, +1 convention)."""
+    from .boxes import bbox_overlaps
+
+    ious = bbox_overlaps(pred_boxes, target_boxes, is_aligned=True)
+    loss = -jnp.log(jnp.clip(ious, eps, None))
+    return weight_reduce(loss, weight, avg_factor)
+
+
+def ghm_c(logits, targets, label_weight, bins=10, momentum=0.0, avg_factor=None):
+    """GHM classification loss (losses/ghm_loss.py GHMC parity, stateless).
+
+    Gradient-density harmonizing on sigmoid logits; `targets` one-hot float.
+    The running-momentum variant keeps state in the optimizer loop; this is
+    the momentum=0 form (default in shipped configs).
+    """
+    g = jnp.abs(jax.nn.sigmoid(logits) - targets)
+    valid = label_weight > 0
+    tot = jnp.maximum(jnp.sum(valid), 1.0)
+    edges = jnp.linspace(0, 1, bins + 1).at[-1].add(1e-6)
+    weights = jnp.zeros_like(g)
+    for i in range(bins):
+        inds = (g >= edges[i]) & (g < edges[i + 1]) & valid
+        num_in_bin = jnp.sum(inds)
+        weights = jnp.where(inds, tot / jnp.maximum(num_in_bin, 1.0), weights)
+    weights = weights / bins
+    bce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return jnp.sum(bce * weights) / (avg_factor or tot)
+
+
+def ghm_r(pred, target, label_weight, mu=0.02, bins=10, avg_factor=None):
+    """GHM regression loss (GHMR parity): ASL1 base with density weights."""
+    diff = pred - target
+    loss = jnp.sqrt(diff * diff + mu * mu) - mu
+    g = jnp.abs(diff / jnp.sqrt(mu * mu + diff * diff))
+    valid = label_weight > 0
+    tot = jnp.maximum(jnp.sum(valid), 1.0)
+    edges = jnp.linspace(0, 1, bins + 1).at[-1].add(1e3)
+    weights = jnp.zeros_like(g)
+    for i in range(bins):
+        inds = (g >= edges[i]) & (g < edges[i + 1]) & valid
+        num_in_bin = jnp.sum(inds)
+        weights = jnp.where(inds, tot / jnp.maximum(num_in_bin, 1.0), weights)
+    weights = weights / bins
+    return jnp.sum(loss * weights) / (avg_factor or tot)
+
+
 def accuracy(logits, labels, mask=None):
     """Top-1 accuracy over valid entries (losses/accuracy.py parity)."""
     pred = jnp.argmax(logits, axis=-1)

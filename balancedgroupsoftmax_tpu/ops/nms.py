@@ -150,14 +150,25 @@ def multiclass_nms(
     score_thr: float,
     iou_thr: float,
     max_per_img: int,
-    class_chunk: int = 32,
+    candidates_per_class: int = 200,
+    class_chunk: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-class NMS over all foreground classes, then global top-k.
 
     Parity: /root/reference/mmdet/core/post_processing/bbox_nms.py:6-66 —
-    the reference loops over 1230 classes on GPU; here classes are a vmapped
-    batch dimension processed in chunks (bounding the NxN IoU workspace),
-    every chunk running the fixpoint NMS above.
+    the reference loops over 1230 classes on GPU; here every class is a
+    vmapped batch element of the fixpoint NMS.
+
+    TPU shaping: each class first keeps its `candidates_per_class` top-score
+    boxes (a per-class top-k), bounding the per-class IoU workspace at
+    (C, K, K) and making the whole 1230-class pass one fused vmap instead of
+    a sequential chunk loop. Keep decisions for the kept candidates are
+    identical to full NMS (lower-scored boxes can never suppress
+    higher-scored ones); the only deviation is that a box ranked below its
+    class's top-K by score can no longer appear in the output — negligible
+    at K >= max_per_img. Set candidates_per_class=N for the literal
+    reference semantics. `class_chunk` > 0 additionally processes classes in
+    sequential chunks of that size (memory bound on tiny hosts).
 
     Returns (det_boxes (M,4), det_scores (M,), det_labels (M,) int32 0-based,
     det_valid (M,) bool), M = max_per_img, sorted by score desc.
@@ -165,52 +176,48 @@ def multiclass_nms(
     n, c = scores.shape
     num_fg = c - 1
     class_specific = boxes.shape[-1] != 4
+    k = min(candidates_per_class, n)
 
-    def one_class(cls_boxes, cls_scores):
-        return nms_keep(
-            cls_boxes, cls_scores, valid & (cls_scores > score_thr), iou_thr
-        )
-
-    fg_scores = scores[:, 1:]  # (N, num_fg)
-    # pad the class dim to a multiple of class_chunk, then lax.map over chunks
-    # so only one (K, N, N) IoU workspace is live at a time.
-    k = min(class_chunk, num_fg)
-    num_chunks = -(-num_fg // k)
-    pad = num_chunks * k - num_fg
-    cs_all = jnp.pad(fg_scores.T, ((0, pad), (0, 0)))  # (num_chunks*k, N)
+    fg_scores = scores[:, 1:].T  # (num_fg, N)
+    masked_scores = jnp.where(
+        valid[None, :] & (fg_scores > score_thr), fg_scores, -jnp.inf
+    )
+    top_scores, top_idx = jax.lax.top_k(masked_scores, k)  # (num_fg, K)
     if class_specific:
-        cb_all = jnp.pad(
-            boxes.reshape(n, c, 4)[:, 1:].transpose(1, 0, 2), ((0, pad), (0, 0), (0, 0))
-        )
-        cb_all = cb_all.reshape(num_chunks, k, n, 4)
-    cs_all = cs_all.reshape(num_chunks, k, n)
-
-    def chunk_fn(args):
-        if class_specific:
-            cb, cs = args
-        else:
-            cs = args
-            cb = jnp.broadcast_to(boxes, (k, n, 4))
-        return jax.vmap(one_class)(cb, cs)
-
-    keep_all = jax.lax.map(
-        chunk_fn, (cb_all, cs_all) if class_specific else cs_all
-    ).reshape(num_chunks * k, n)[:num_fg]
-
-    cand_scores = jnp.where(
-        keep_all & valid[None, :] & (fg_scores.T > score_thr), fg_scores.T, -jnp.inf
-    ).reshape(-1)
-    top_scores, flat_idx = jax.lax.top_k(cand_scores, max_per_img)
-    det_valid = jnp.isfinite(top_scores)
-    cls_idx = (flat_idx // n).astype(jnp.int32)  # 0-based fg label
-    box_idx = flat_idx % n
-    if class_specific:
-        det_boxes = boxes.reshape(n, c, 4)[box_idx, cls_idx + 1]
+        per_class_boxes = boxes.reshape(n, c, 4)[:, 1:].transpose(1, 0, 2)  # (num_fg, N, 4)
+        cand_boxes = jnp.take_along_axis(per_class_boxes, top_idx[..., None], axis=1)
     else:
-        det_boxes = boxes[box_idx]
+        cand_boxes = boxes[top_idx]  # (num_fg, K, 4)
+    cand_valid = jnp.isfinite(top_scores)
+    safe_scores = jnp.where(cand_valid, top_scores, 0.0)
+
+    def one_class(cb, cs, cv):
+        return nms_keep(cb, cs, cv, iou_thr)
+
+    if class_chunk and class_chunk < num_fg:
+        pad = (-num_fg) % class_chunk
+        args = (
+            jnp.pad(cand_boxes, ((0, pad), (0, 0), (0, 0))),
+            jnp.pad(safe_scores, ((0, pad), (0, 0))),
+            jnp.pad(cand_valid, ((0, pad), (0, 0))),
+        )
+        args = jax.tree_util.tree_map(
+            lambda x: x.reshape(-1, class_chunk, *x.shape[1:]), args
+        )
+        keep = jax.lax.map(lambda a: jax.vmap(one_class)(*a), args)
+        keep = keep.reshape(-1, k)[:num_fg]
+    else:
+        keep = jax.vmap(one_class)(cand_boxes, safe_scores, cand_valid)  # (num_fg, K)
+
+    cand_scores = jnp.where(keep & cand_valid, top_scores, -jnp.inf).reshape(-1)
+    out_scores, flat_idx = jax.lax.top_k(cand_scores, max_per_img)
+    det_valid = jnp.isfinite(out_scores)
+    cls_idx = (flat_idx // k).astype(jnp.int32)  # 0-based fg label
+    slot_idx = flat_idx % k
+    det_boxes = cand_boxes[cls_idx, slot_idx]
     return (
         det_boxes,
-        jnp.where(det_valid, top_scores, 0.0),
+        jnp.where(det_valid, out_scores, 0.0),
         cls_idx,
         det_valid,
     )
