@@ -171,6 +171,19 @@ class CascadeConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class HTCConfig:
+    """Hybrid Task Cascade extras (htc.py:13-33)."""
+
+    semantic_num_classes: int = 183
+    semantic_loss_weight: float = 0.2
+    semantic_ignore_label: int = 255
+    fusion_level: int = 1  # stride-8 FPN level
+    semantic_fusion: Tuple[str, ...] = ("bbox", "mask")
+    interleaved: bool = True
+    mask_info_flow: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
 class DetectorConfig:
     """Full two-stage detector configuration."""
 
@@ -181,6 +194,7 @@ class DetectorConfig:
     bbox_head: BBoxHeadConfig = BBoxHeadConfig()
     mask_head: Optional[MaskHeadConfig] = None
     cascade: Optional[CascadeConfig] = None
+    htc: Optional[HTCConfig] = None
     rpn_train: RPNTrainConfig = RPNTrainConfig()
     rpn_proposal_train: ProposalConfig = ProposalConfig(
         nms_pre=2000, nms_post=2000, max_num=2000

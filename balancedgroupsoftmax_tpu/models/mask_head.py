@@ -25,8 +25,10 @@ class FCNMaskHead(nn.Module):
         """x (..., S, S, C) roi feats -> mask logits (..., 2S, 2S, num_fg)."""
         c = self.cfg
         if res_feat is not None:
+            # conv_res maps the previous stage's feature onto this input's
+            # channel count (htc_mask_head.py conv_res; equal in real configs)
             res = nn.Conv(
-                c.conv_out_channels, (1, 1), dtype=self.dtype, name="conv_res"
+                x.shape[-1], (1, 1), dtype=self.dtype, name="conv_res"
             )(res_feat)
             x = x + res
         for i in range(c.num_convs):
