@@ -35,14 +35,22 @@ def nms_keep(
     scores: jnp.ndarray,  # (N,)
     valid: jnp.ndarray,  # (N,) bool
     iou_thr: float,
+    presorted: bool = False,
 ) -> jnp.ndarray:
-    """Exact greedy NMS. Returns (N,) bool keep mask (in input order)."""
+    """Exact greedy NMS. Returns (N,) bool keep mask (in input order).
+
+    Set `presorted=True` when scores are already descending (e.g. straight
+    out of lax.top_k) to skip the sort/scatter round-trip.
+    """
     n = boxes.shape[0]
-    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
-    s = jnp.where(valid, scores, neg_inf)
-    order = jnp.argsort(-s)  # stable: ties broken by original index
-    b = boxes[order]
-    v = valid[order]
+    if presorted:
+        b, v = boxes, valid
+    else:
+        neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+        s = jnp.where(valid, scores, neg_inf)
+        order = jnp.argsort(-s)  # stable: ties broken by original index
+        b = boxes[order]
+        v = valid[order]
 
     iou = bbox_overlaps(b, b)  # (N, N)
     upper = jnp.triu(jnp.ones((n, n), jnp.bool_), k=1)  # i < j: i can suppress j
@@ -60,9 +68,10 @@ def nms_keep(
         return new_keep, jnp.any(new_keep != keep)
 
     keep_sorted, _ = jax.lax.while_loop(cond, body, (v, jnp.asarray(True)))
+    if presorted:
+        return keep_sorted
     # scatter back to input order
-    keep = jnp.zeros(n, jnp.bool_).at[order].set(keep_sorted)
-    return keep
+    return jnp.zeros(n, jnp.bool_).at[order].set(keep_sorted)
 
 
 def nms(
@@ -192,7 +201,8 @@ def multiclass_nms(
     safe_scores = jnp.where(cand_valid, top_scores, 0.0)
 
     def one_class(cb, cs, cv):
-        return nms_keep(cb, cs, cv, iou_thr)
+        # top_k output is already score-descending per class
+        return nms_keep(cb, cs, cv, iou_thr, presorted=True)
 
     if class_chunk and class_chunk < num_fg:
         pad = (-num_fg) % class_chunk
