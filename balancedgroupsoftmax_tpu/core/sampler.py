@@ -50,8 +50,18 @@ def sample_pos_neg(
     assign: AssignResult,
     num: int,
     pos_fraction: float,
+    pos_priority: jnp.ndarray | None = None,
+    neg_priority: jnp.ndarray | None = None,
 ) -> SamplingResult:
-    """Sample `num` RoIs: up to num*pos_fraction positives + random negatives."""
+    """Sample `num` RoIs: up to num*pos_fraction positives + negatives.
+
+    With default (None) priorities both sides sample uniformly at random —
+    RandomSampler parity. Passing structured priorities (higher = keep
+    first) yields the reference's sampler family: per-instance balancing,
+    IoU-balanced negatives, OHEM hard mining (see the priority builders
+    below); the reference implements each as a separate BaseSampler subclass
+    (core/bbox/samplers/) — here they are one top-k with a different key.
+    """
     n = assign.gt_inds.shape[0]
     num_expected_pos = int(num * pos_fraction)
 
@@ -59,8 +69,12 @@ def sample_pos_neg(
     is_pos_cand = assign.gt_inds > 0
     is_neg_cand = assign.gt_inds == 0
 
-    pos_rank = _rank_among(is_pos_cand, jax.random.uniform(kp, (n,)))
-    neg_rank = _rank_among(is_neg_cand, jax.random.uniform(kn, (n,)))
+    if pos_priority is None:
+        pos_priority = jax.random.uniform(kp, (n,))
+    if neg_priority is None:
+        neg_priority = jax.random.uniform(kn, (n,))
+    pos_rank = _rank_among(is_pos_cand, pos_priority)
+    neg_rank = _rank_among(is_neg_cand, neg_priority)
 
     pos_elig = is_pos_cand & (pos_rank < num_expected_pos)
     n_pos = jnp.sum(pos_elig).astype(jnp.int32)
@@ -86,6 +100,76 @@ def sample_pos_neg(
         valid=(slot < n_pos + n_neg) & jnp.isfinite(top_prio),
         num_pos=n_pos,
         num_neg=n_neg,
+    )
+
+
+def instance_balanced_pos_priority(
+    key: jax.Array, assign: AssignResult
+) -> jnp.ndarray:
+    """Positives spread evenly across GT instances.
+
+    Parity: InstanceBalancedPosSampler (instance_balanced_pos_sampler.py:9-41)
+    — caps samples per GT then fills. Here each positive gets priority
+    -(its random rank within its own GT's positives), so top-k drains GTs
+    round-robin: one from each GT, then a second from each, ...
+    """
+    n = assign.gt_inds.shape[0]
+    is_pos = assign.gt_inds > 0
+    r = jax.random.uniform(key, (n,))
+    # rank within gt group: count of same-gt positives with smaller random key
+    same_gt = (assign.gt_inds[:, None] == assign.gt_inds[None, :]) & is_pos[None, :]
+    within = jnp.sum(same_gt & (r[None, :] < r[:, None]), axis=1)
+    return -(within.astype(jnp.float32)) + r * 0.5
+
+
+def iou_balanced_neg_priority(
+    key: jax.Array,
+    assign: AssignResult,
+    floor_thr: float = -1.0,
+    num_bins: int = 3,
+    max_iou: float = 0.5,
+) -> jnp.ndarray:
+    """Negatives drawn evenly across IoU bins (Libra R-CNN).
+
+    Parity: IoUBalancedNegSampler (iou_balanced_neg_sampler.py:44-75): bins
+    of [floor_thr, max_iou) sampled evenly; below-floor negatives rank after
+    in-bin ones at equal depth. Priority = -(random rank within own bin).
+    """
+    n = assign.gt_inds.shape[0]
+    is_neg = assign.gt_inds == 0
+    lo = max(floor_thr, 0.0)
+    span = max(max_iou - lo, 1e-6)
+    bin_id = jnp.clip(
+        jnp.floor((assign.max_overlaps - lo) / span * num_bins), 0, num_bins - 1
+    ).astype(jnp.int32)
+    r = jax.random.uniform(key, (n,))
+    same_bin = (bin_id[:, None] == bin_id[None, :]) & is_neg[None, :]
+    within = jnp.sum(same_bin & (r[None, :] < r[:, None]), axis=1)
+    return -(within.astype(jnp.float32)) + r * 0.5
+
+
+def ohem_priority(cls_loss_per_roi: jnp.ndarray) -> jnp.ndarray:
+    """Hard-example mining: highest current classification loss first.
+
+    Parity: OHEMSampler.hard_mining (ohem_sampler.py:33-48) — the caller
+    computes per-candidate CE loss with the current head (no grad) and
+    passes it as the priority for both sides.
+    """
+    return cls_loss_per_roi
+
+
+def pseudo_sample(assign: AssignResult) -> SamplingResult:
+    """Keep every assigned proposal (PseudoSampler parity — used where the
+    head trains on all anchors, e.g. single-stage detectors)."""
+    n = assign.gt_inds.shape[0]
+    is_pos = assign.gt_inds > 0
+    valid = assign.gt_inds >= 0
+    return SamplingResult(
+        inds=jnp.arange(n, dtype=jnp.int32),
+        is_pos=is_pos,
+        valid=valid,
+        num_pos=jnp.sum(is_pos).astype(jnp.int32),
+        num_neg=jnp.sum(valid & ~is_pos).astype(jnp.int32),
     )
 
 

@@ -28,8 +28,14 @@ class SharedFCBBoxHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, roi_feats: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """roi_feats (..., S, S, C) -> (cls_logits (..., L), bbox_deltas (..., 4K))."""
+    def __call__(
+        self, roi_feats: jnp.ndarray, return_feature: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """roi_feats (..., S, S, C) -> (cls_logits (..., L), bbox_deltas (..., 4K)).
+
+        With return_feature=True also returns the pre-classifier feature —
+        the DCM (nearest-class-mean) hook (DCM_bbox_head.py:27-49 parity).
+        """
         c = self.cfg
         x = roi_feats.reshape(*roi_feats.shape[:-3], -1)
         for i in range(c.num_shared_fcs):
@@ -40,6 +46,7 @@ class SharedFCBBoxHead(nn.Module):
                 name=f"shared_fc{i}",
             )(x)
             x = nn.relu(x)
+        feature = x
         num_logits = c.num_classes + (c.gs.num_bins if c.use_gs else 0)
         cls_logits = nn.Dense(
             num_logits,
@@ -54,6 +61,8 @@ class SharedFCBBoxHead(nn.Module):
             kernel_init=nn.initializers.normal(0.001),
             name="fc_reg",
         )(x)
+        if return_feature:
+            return cls_logits, bbox_deltas, feature
         return cls_logits, bbox_deltas
 
 
