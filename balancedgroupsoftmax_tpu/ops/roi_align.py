@@ -157,7 +157,12 @@ def multilevel_roi_align(
     offsets = np.concatenate([[0], np.cumsum(hs.astype(np.int64) * ws)]).astype(
         np.int32
     )
-    flat = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
+    # one zero pad row so the (2, C) slab at the very last cell stays in
+    # bounds without CLIP shifting its start index
+    flat = jnp.concatenate(
+        [f.reshape(-1, c) for f in feats] + [jnp.zeros((1, c), feats[0].dtype)],
+        axis=0,
+    )
 
     lvls = map_roi_levels(rois, num_levels, finest_scale)  # (R,)
     stride_arr = jnp.asarray(np.asarray(strides, np.float32))
@@ -209,12 +214,39 @@ def multilevel_roi_align(
     iy0 = (y_low * w_)[:, :, None]  # (R, os, 1)
     iy1 = (y_high * w_)[:, :, None]
     ix0 = x_low[:, None, :]  # (R, 1, os)
-    ix1 = x_high[:, None, :]
 
-    g00 = flat[(base + iy0 + ix0)]  # (R, os, os, C)
-    g01 = flat[(base + iy0 + ix1)]
-    g10 = flat[(base + iy1 + ix0)]
-    g11 = flat[(base + iy1 + ix1)]
+    # Fetch (2, C) column-pair slabs: x_low and x_low+1 are adjacent rows of
+    # the flattened (H*W, C) level, so one gather with slice size (2, C)
+    # serves both x corners — halving the gather count. When x collapses at
+    # the border (x_high == x_low) the "high" sample's weights lx are zero,
+    # so the extra row read (next spatial cell, or the 1-row pad at the very
+    # end of the buffer) never contributes.
+    os_ = out_size * s
+    r = rois.shape[0]
+
+    def slab_gather(starts):  # starts (R, os, os) int32 -> (R, os, os, 2, C)
+        gd = jax.lax.GatherDimensionNumbers(
+            offset_dims=(3, 4),
+            collapsed_slice_dims=(),
+            start_index_map=(0, 1),
+        )
+        idx = jnp.stack(
+            [starts, jnp.zeros_like(starts)], axis=-1
+        )  # (R, os, os, 2)
+        return jax.lax.gather(
+            flat,
+            idx,
+            gd,
+            slice_sizes=(2, c),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )
+
+    top = slab_gather(jnp.broadcast_to(base + iy0 + ix0, (r, os_, os_)))
+    bot = slab_gather(jnp.broadcast_to(base + iy1 + ix0, (r, os_, os_)))
+    g00 = top[..., 0, :]
+    g01 = top[..., 1, :]
+    g10 = bot[..., 0, :]
+    g11 = bot[..., 1, :]
 
     w00 = (hy * hx)[..., None]
     w01 = (hy * lx)[..., None]
