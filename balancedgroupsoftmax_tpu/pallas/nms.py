@@ -1,0 +1,103 @@
+"""Pallas TPU kernel: batched per-class greedy NMS.
+
+Replaces the XLA fixpoint in ops/nms.py for the hot 1230-class inference
+path (and the reference's nms_kernel.cu). The XLA version re-reads the
+(C, K, K) adjacency from HBM on every while-loop round; here each grid step
+keeps a (BLK, K, K) IoU block resident in VMEM and runs the suppression
+fixpoint entirely on-chip — HBM traffic drops to the boxes in and the keep
+mask out.
+
+Contract (same as ops/nms.py `one_class` over lax.top_k output):
+- boxes (G, K, 4) f32, scores descending per row, invalid slots masked via
+  `valid` (G, K) bool;
+- returns keep (G, K) bool — exact greedy NMS per row (+1 IoU convention).
+
+K must be a lane multiple (pad to 128*n); G pads to the block size.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _nms_block_kernel(iou_thr, boxes_ref, valid_ref, keep_ref):
+    b = boxes_ref[...]  # (BLK, K, 4) f32
+    v = valid_ref[...] > 0  # (BLK, K)
+    blk, k = v.shape
+
+    x1 = b[:, :, 0]
+    y1 = b[:, :, 1]
+    x2 = b[:, :, 2]
+    y2 = b[:, :, 3]
+    area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+
+    ix1 = jnp.maximum(x1[:, :, None], x1[:, None, :])
+    iy1 = jnp.maximum(y1[:, :, None], y1[:, None, :])
+    ix2 = jnp.minimum(x2[:, :, None], x2[:, None, :])
+    iy2 = jnp.minimum(y2[:, :, None], y2[:, None, :])
+    iw = jnp.maximum(ix2 - ix1 + 1.0, 0.0)
+    ih = jnp.maximum(iy2 - iy1 + 1.0, 0.0)
+    inter = iw * ih
+    union = area[:, :, None] + area[:, None, :] - inter
+    iou = inter / jnp.maximum(union, 1e-6)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (blk, k, k), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (blk, k, k), 2)
+    adj = (
+        (iou > iou_thr)
+        & (row < col)  # higher-scored (earlier) suppresses later
+        & v[:, :, None]
+        & v[:, None, :]
+    ).astype(jnp.float32)
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        keep, _ = state
+        # suppressed[j] = any_i keep[i] & adj[i, j]
+        suppressed = jnp.max(keep[:, :, None] * adj, axis=1) > 0.0
+        new_keep = jnp.where(suppressed, 0.0, v.astype(jnp.float32))
+        return new_keep, jnp.any(new_keep != keep)
+
+    keep0 = v.astype(jnp.float32)
+    keep, _ = jax.lax.while_loop(cond, body, (keep0, jnp.asarray(True)))
+    keep_ref[...] = keep.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("iou_thr", "block", "interpret"))
+def nms_keep_batched(
+    boxes: jnp.ndarray,  # (G, K, 4) f32, score-descending rows
+    valid: jnp.ndarray,  # (G, K) bool
+    iou_thr: float,
+    block: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    g, k = valid.shape
+    kp = -(-k // 128) * 128  # lane-align K
+    gp = -(-g // block) * block
+    boxes_p = jnp.zeros((gp, kp, 4), jnp.float32).at[:g, :k].set(
+        boxes.astype(jnp.float32)
+    )
+    valid_p = jnp.zeros((gp, kp), jnp.int32).at[:g, :k].set(valid.astype(jnp.int32))
+
+    kernel = functools.partial(_nms_block_kernel, iou_thr)
+    keep = pl.pallas_call(
+        kernel,
+        grid=(gp // block,),
+        in_specs=[
+            pl.BlockSpec((block, kp, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gp, kp), jnp.int32),
+        interpret=interpret,
+    )(boxes_p, valid_p)
+    return keep[:g, :k] > 0

@@ -1,0 +1,271 @@
+"""Pallas TPU kernel: multi-level RoIAlign via windowed separable matmuls.
+
+Replaces the reference's roi_align_kernel.cu for the inference hot path.
+The XLA gather formulation (ops/roi_align.py) is dispatch-bound on TPU
+(millions of (2, C) slices); this kernel instead:
+
+1. routes each roi to its FPN level host-side (map_roi_levels) and picks an
+   *orientation*: portrait rois (taller than wide on their level) sample
+   from a transposed copy of the pyramid, so every roi sees a landscape
+   window. With the level routing bounding cell area at ~784, a
+   (WIN_H=32, WIN_W=80) window then covers every roi with aspect ratio up
+   to ~8 exactly (both-spans>31 would need area>961); only ultra-thin
+   outliers clamp their outermost samples to the window edge;
+2. DMAs the (WIN_H, WIN_W, C) window from the chosen level buffer (HBM)
+   into VMEM — one contiguous strided copy per roi;
+3. expresses bilinear sampling as two small MXU matmuls: bilinear
+   interpolation is separable, samples = Wy @ window @ Wx^T, where the
+   (OS, WIN) interpolation matrices carry two weights per row built
+   in-kernel with the CUDA kernel's exact boundary rules
+   (roi_align_kernel.cu bilinear_interpolate);
+4. averages the sample grid into the (out, out, C) output.
+
+Training uses a custom VJP whose backward is the XLA reference formulation
+(scatter-add) — matching the CUDA backward's atomicAdd semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.roi_align import map_roi_levels
+
+WIN_H = 32  # short-axis window cells
+WIN_W = 80  # long-axis window cells
+
+
+def _kernel(
+    # scalar prefetch
+    src_ref,  # (R,) i32: index of the source buffer (level*2 + orient)
+    origin_ref,  # (R, 3) i32: img, y0, x0 (in the oriented frame)
+    geom_ref,  # (R, 8) f32: start_h, start_w, bin_h, bin_w, H, W, orient, _
+    # inputs (HBM): level0..3 normal, then level0..3 transposed
+    *refs_and_out,
+    out_size: int,
+    sample_num: int,
+):
+    fs = refs_and_out[:-3]
+    out_ref = refs_and_out[-3]
+    win_raw = refs_and_out[-2]
+    sem = refs_and_out[-1]
+
+    r = pl.program_id(0)
+    src = src_ref[r]
+    img = origin_ref[r, 0]
+    y0 = origin_ref[r, 1]
+    x0 = origin_ref[r, 2]
+
+    for i, f in enumerate(fs):
+        @pl.when(src == i)
+        def _(f=f):
+            dma = pltpu.make_async_copy(
+                f.at[img, pl.ds(y0, WIN_H), pl.ds(x0, WIN_W), :],
+                win_raw,
+                sem,
+            )
+            dma.start()
+            dma.wait()
+
+    os_ = out_size * sample_num
+    start_h = geom_ref[r, 0]
+    start_w = geom_ref[r, 1]
+    bin_h = geom_ref[r, 2]
+    bin_w = geom_ref[r, 3]
+    h_l = geom_ref[r, 4]
+    w_l = geom_ref[r, 5]
+    portrait = geom_ref[r, 6] > 0.5
+
+    idx = jax.lax.broadcasted_iota(jnp.float32, (os_, 1), 0)
+    grid_pos = idx // sample_num + ((idx % sample_num) + 0.5) / sample_num
+
+    def interp_matrix(start, bin_sz, size_l, origin, win):
+        """(OS, win) separable bilinear weights, CUDA boundary rules."""
+        pos = start + bin_sz * grid_pos  # (os, 1) cell coords
+        valid = (pos >= -1.0) & (pos <= size_l)
+        p = jnp.maximum(pos, 0.0)
+        low = jnp.floor(p)
+        collapse = low >= size_l - 1.0
+        low = jnp.where(collapse, size_l - 1.0, low)
+        p_eff = jnp.where(collapse, low, p)
+        high = jnp.where(collapse, low, low + 1.0)
+        lfrac = p_eff - low
+        hfrac = 1.0 - lfrac
+        low_w = jnp.clip(low - origin, 0.0, win - 1.0)
+        high_w = jnp.clip(high - origin, 0.0, win - 1.0)
+        cols = jax.lax.broadcasted_iota(jnp.float32, (os_, win), 1)
+        m = hfrac * (cols == low_w) + lfrac * (cols == high_w)
+        return jnp.where(valid, m, 0.0)
+
+    y0f = y0.astype(jnp.float32)
+    x0f = x0.astype(jnp.float32)
+    wy = interp_matrix(start_h, bin_h, h_l, y0f, WIN_H)  # (os, WIN_H)
+    wx = interp_matrix(start_w, bin_w, w_l, x0f, WIN_W)  # (os, WIN_W)
+
+    win = win_raw[...].astype(jnp.float32)  # (WIN_H, WIN_W, C)
+    c = win.shape[-1]
+    # tmp[i, w, c] = sum_h wy[i, h] * win[h, w, c]
+    tmp = jax.lax.dot_general(
+        wy,
+        win.reshape(WIN_H, WIN_W * c),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(os_, WIN_W, c)
+    # out[j, i, c] = sum_w wx[j, w] * tmp[i, w, c]
+    tmp2 = jnp.transpose(tmp, (1, 0, 2)).reshape(WIN_W, os_ * c)
+    out = jax.lax.dot_general(
+        wx, tmp2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).reshape(os_, os_, c)  # (x-sample, y-sample, C) in the ORIENTED frame
+
+    # un-orient: landscape needs (y, x); portrait frame's (x, y) is the
+    # original (y, x) already
+    @pl.when(portrait)
+    def _():
+        out_ref[0] = out
+
+    @pl.when(jnp.logical_not(portrait))
+    def _():
+        out_ref[0] = jnp.transpose(out, (1, 0, 2))
+
+
+def _forward(
+    feats: Sequence[jnp.ndarray],  # per level (B, H_l, W_l, C)
+    rois: jnp.ndarray,  # (B, R, 4)
+    strides: Sequence[int],
+    out_size: int,
+    sample_num: int,
+    finest_scale: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, r = rois.shape[:2]
+    c = feats[0].shape[-1]
+    num_levels = len(feats)
+    os_ = out_size * sample_num
+
+    flat_rois = rois.reshape(b * r, 4).astype(jnp.float32)
+    img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+    lvls = map_roi_levels(flat_rois, num_levels, finest_scale)
+    stride_arr = jnp.asarray(np.asarray(strides, np.float32))
+    scale = 1.0 / stride_arr[lvls]
+    hs = jnp.asarray(np.asarray([f.shape[1] for f in feats], np.int32))
+    ws = jnp.asarray(np.asarray([f.shape[2] for f in feats], np.int32))
+    h_l = hs[lvls].astype(jnp.float32)
+    w_l = ws[lvls].astype(jnp.float32)
+
+    start_w = flat_rois[:, 0] * scale
+    start_h = flat_rois[:, 1] * scale
+    end_w = (flat_rois[:, 2] + 1.0) * scale
+    end_h = (flat_rois[:, 3] + 1.0) * scale
+    span_w = jnp.maximum(end_w - start_w, 0.0)
+    span_h = jnp.maximum(end_h - start_h, 0.0)
+    bin_w = span_w / out_size
+    bin_h = span_h / out_size
+
+    portrait = span_h > span_w  # use the transposed pyramid
+    # oriented geometry: portrait swaps the roles of y and x
+    o_start_h = jnp.where(portrait, start_w, start_h)
+    o_start_w = jnp.where(portrait, start_h, start_w)
+    o_bin_h = jnp.where(portrait, bin_w, bin_h)
+    o_bin_w = jnp.where(portrait, bin_h, bin_w)
+    o_h = jnp.where(portrait, w_l, h_l)
+    o_w = jnp.where(portrait, h_l, w_l)
+
+    y0 = jnp.clip(
+        jnp.floor(o_start_h).astype(jnp.int32),
+        0,
+        jnp.maximum(o_h.astype(jnp.int32) - WIN_H, 0),
+    )
+    x0 = jnp.clip(
+        jnp.floor(o_start_w).astype(jnp.int32),
+        0,
+        jnp.maximum(o_w.astype(jnp.int32) - WIN_W, 0),
+    )
+    src = lvls + jnp.where(portrait, num_levels, 0)
+    origin = jnp.stack([img_idx, y0, x0], axis=-1)
+    geom = jnp.stack(
+        [
+            o_start_h, o_start_w, o_bin_h, o_bin_w, o_h, o_w,
+            portrait.astype(jnp.float32), jnp.zeros_like(o_h),
+        ],
+        axis=-1,
+    )
+
+    def pad_min(f, min_h, min_w):
+        ph = max(min_h - f.shape[1], 0)
+        pw = max(min_w - f.shape[2], 0)
+        if ph or pw:
+            f = jnp.pad(f, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        return f
+
+    normal = [pad_min(f, WIN_H, WIN_W) for f in feats]
+    transposed = [
+        pad_min(jnp.transpose(f, (0, 2, 1, 3)), WIN_H, WIN_W) for f in feats
+    ]
+    buffers = normal + transposed
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b * r,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 * num_levels),
+        out_specs=pl.BlockSpec(
+            (1, os_, os_, c), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((WIN_H, WIN_W, c), feats[0].dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    samples = pl.pallas_call(
+        functools.partial(_kernel, out_size=out_size, sample_num=sample_num),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * r, os_, os_, c), jnp.float32),
+        interpret=interpret,
+    )(src.astype(jnp.int32), origin.astype(jnp.int32), geom, *buffers)
+
+    pooled = samples.reshape(b * r, out_size, sample_num, out_size, sample_num, c).mean(
+        axis=(2, 4)
+    )
+    return pooled.reshape(b, r, out_size, out_size, c).astype(feats[0].dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def multilevel_roi_align_pallas(
+    feats,  # tuple of (B, H_l, W_l, C)
+    rois,  # (B, R, 4)
+    strides=(4, 8, 16, 32),
+    out_size: int = 7,
+    sample_num: int = 2,
+    finest_scale: int = 56,
+    interpret: bool = False,
+):
+    return _forward(feats, rois, strides, out_size, sample_num, finest_scale, interpret)
+
+
+def _fwd(feats, rois, strides, out_size, sample_num, finest_scale, interpret):
+    out = _forward(feats, rois, strides, out_size, sample_num, finest_scale, interpret)
+    return out, (feats, rois)
+
+
+def _bwd(strides, out_size, sample_num, finest_scale, interpret, res, g):
+    feats, rois = res
+    from ..ops.roi_align import multilevel_roi_align
+
+    def ref_fn(fs):
+        return jax.vmap(
+            lambda per_img, rr: multilevel_roi_align(
+                per_img, rr, strides, out_size, sample_num, finest_scale
+            )
+        )(fs, rois)
+
+    _, vjp = jax.vjp(ref_fn, feats)
+    (dfeats,) = vjp(g)
+    return dfeats, None
+
+
+multilevel_roi_align_pallas.defvjp(_fwd, _bwd)

@@ -1,0 +1,40 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from balancedgroupsoftmax_tpu.pallas.nms import nms_keep_batched
+from tests.test_nms import np_greedy_nms, random_boxes
+
+
+def test_pallas_nms_matches_greedy_interpret():
+    rng = np.random.RandomState(0)
+    g, k = 6, 50
+    boxes = np.stack([random_boxes(rng, k, spread=60) for _ in range(g)])
+    scores = -np.sort(-rng.rand(g, k).astype(np.float32), axis=1)  # descending
+    valid = np.ones((g, k), bool)
+    valid[0, 30:] = False  # padded tail
+
+    keep = np.asarray(
+        nms_keep_batched(
+            jnp.asarray(boxes), jnp.asarray(valid), 0.5, block=4, interpret=True
+        )
+    )
+    for i in range(g):
+        b = boxes[i][valid[i]]
+        s = scores[i][valid[i]]
+        expected = np_greedy_nms(b, s, 0.5)
+        np.testing.assert_array_equal(keep[i][valid[i]], expected, err_msg=f"row {i}")
+        assert not keep[i][~valid[i]].any()
+
+
+def test_pallas_nms_suppression_chain():
+    n = 40
+    boxes = np.stack(
+        [np.arange(n) * 3.0, np.zeros(n), np.arange(n) * 3.0 + 20, np.full(n, 20.0)], -1
+    ).astype(np.float32)[None]
+    scores = np.linspace(1, 0.5, n).astype(np.float32)
+    keep = np.asarray(
+        nms_keep_batched(jnp.asarray(boxes), jnp.ones((1, n), bool), 0.5, block=1, interpret=True)
+    )[0]
+    expected = np_greedy_nms(boxes[0], scores, 0.5)
+    np.testing.assert_array_equal(keep, expected)
