@@ -1,0 +1,107 @@
+"""Kernel backend dispatch: Pallas on TPU, XLA reference elsewhere.
+
+The Pallas kernels (pallas/roi_align.py, pallas/nms.py) are numerically
+validated against the XLA formulations (ops/) which remain the portable
+path (CPU tests, interpret-mode debugging). Selection happens at trace
+time; override with BAGS_FORCE_XLA=1 / BAGS_FORCE_PALLAS=1.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def pallas_enabled() -> bool:
+    if os.environ.get("BAGS_FORCE_XLA"):
+        return False
+    if os.environ.get("BAGS_FORCE_PALLAS"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def batched_multilevel_roi_align(
+    feats: Sequence[jnp.ndarray],  # per level (B, H_l, W_l, C)
+    rois: jnp.ndarray,  # (B, R, 4)
+    strides: Sequence[int],
+    out_size: int = 7,
+    sample_num: int = 2,
+    finest_scale: int = 56,
+) -> jnp.ndarray:
+    """(B, R, S, S, C) pooled features, routed per level."""
+    if pallas_enabled():
+        from .pallas.roi_align import multilevel_roi_align_pallas
+
+        return multilevel_roi_align_pallas(
+            tuple(feats), rois, tuple(strides), out_size, sample_num, finest_scale
+        )
+    from .ops.roi_align import multilevel_roi_align
+
+    return jax.vmap(
+        lambda per_img, rr: multilevel_roi_align(
+            per_img, rr, strides, out_size, sample_num, finest_scale
+        )
+    )(tuple(feats), rois)
+
+
+def batched_multiclass_nms(
+    boxes: jnp.ndarray,  # (B, N, 4) or (B, N, C*4)
+    scores: jnp.ndarray,  # (B, N, C)
+    valid: jnp.ndarray,  # (B, N)
+    score_thr: float,
+    iou_thr: float,
+    max_per_img: int,
+    candidates_per_class: int = 300,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched per-class NMS + global top-k (ops/nms.multiclass_nms
+    semantics over a leading batch dim). The per-class keep computation is
+    flattened to (B*num_fg, K) so the Pallas kernel sees one large grid."""
+    b, n, c = scores.shape
+    num_fg = c - 1
+    k = min(candidates_per_class, n)
+    class_specific = boxes.shape[-1] != 4
+
+    fg_scores = jnp.swapaxes(scores[..., 1:], 1, 2)  # (B, num_fg, N)
+    masked = jnp.where(valid[:, None, :] & (fg_scores > score_thr), fg_scores, -jnp.inf)
+    top_scores, top_idx = jax.lax.top_k(masked, k)  # (B, num_fg, K)
+    if class_specific:
+        per_class = jnp.swapaxes(boxes.reshape(b, n, c, 4)[..., 1:, :], 1, 2)
+        cand_boxes = jnp.take_along_axis(per_class, top_idx[..., None], axis=2)
+    else:
+        cand_boxes = jax.vmap(lambda bx, ix: bx[ix])(
+            boxes, top_idx.reshape(b, -1)
+        ).reshape(b, num_fg, k, 4)
+    cand_valid = jnp.isfinite(top_scores)
+
+    if pallas_enabled():
+        from .pallas.nms import nms_keep_batched
+
+        keep = nms_keep_batched(
+            cand_boxes.reshape(b * num_fg, k, 4),
+            cand_valid.reshape(b * num_fg, k),
+            iou_thr,
+        ).reshape(b, num_fg, k)
+    else:
+        from .ops.nms import nms_keep
+
+        flat_boxes = cand_boxes.reshape(b * num_fg, k, 4)
+        flat_valid = cand_valid.reshape(b * num_fg, k)
+        keep = jax.vmap(
+            lambda bb, vv: nms_keep(bb, jnp.zeros(k), vv, iou_thr, presorted=True)
+        )(flat_boxes, flat_valid).reshape(b, num_fg, k)
+
+    cand_scores = jnp.where(keep & cand_valid, top_scores, -jnp.inf).reshape(b, -1)
+    out_scores, flat_idx = jax.lax.top_k(cand_scores, max_per_img)  # (B, M)
+    det_valid = jnp.isfinite(out_scores)
+    cls_idx = (flat_idx // k).astype(jnp.int32)
+    slot_idx = flat_idx % k
+    det_boxes = jax.vmap(lambda cb, ci, si: cb[ci, si])(cand_boxes, cls_idx, slot_idx)
+    return (
+        det_boxes,
+        jnp.where(det_valid, out_scores, 0.0),
+        cls_idx,
+        det_valid,
+    )

@@ -24,9 +24,8 @@ from ..config import DetectorConfig
 from ..core.targets import roi_targets_single
 from ..gs.head import gs_loss, gs_merge_scores
 from ..gs.partition import GSPartition
+from ..kernels import batched_multiclass_nms, batched_multilevel_roi_align
 from ..ops.boxes import delta2bbox
-from ..ops.nms import multiclass_nms
-from ..ops.roi_align import multilevel_roi_align
 from .bbox_head import SharedFCBBoxHead, bbox_head_loss, bbox_reg_loss
 from .detector import Detections
 from .fpn import FPN
@@ -99,16 +98,14 @@ class CascadeRCNN(nn.Module):
 
     def _pool(self, feats, rois_batch):
         c = self.cfg
-        return jax.vmap(
-            lambda per_img_feats, rois: multilevel_roi_align(
-                per_img_feats,
-                rois,
-                c.roi_extractor.featmap_strides,
-                c.roi_extractor.out_size,
-                c.roi_extractor.sample_num,
-                c.roi_extractor.finest_scale,
-            )
-        )(feats[: len(c.roi_extractor.featmap_strides)], rois_batch)
+        return batched_multilevel_roi_align(
+            feats[: len(c.roi_extractor.featmap_strides)],
+            rois_batch,
+            c.roi_extractor.featmap_strides,
+            c.roi_extractor.out_size,
+            c.roi_extractor.sample_num,
+            c.roi_extractor.finest_scale,
+        )
 
     def loss(
         self,
@@ -271,7 +268,7 @@ class CascadeRCNN(nn.Module):
 
         last_stds = c.cascade.stage_target_stds[-1]
 
-        def decode_and_nms(r, d, sc, valid, shape, sf):
+        def decode(r, d, shape, sf):
             boxes = delta2bbox(
                 r,
                 d.astype(jnp.float32),
@@ -279,16 +276,13 @@ class CascadeRCNN(nn.Module):
                 last_stds,
                 max_shape=(shape[0], shape[1]),
             )
-            if rescale:
-                boxes = boxes / sf
-            return multiclass_nms(
-                boxes, sc, valid,
-                c.rcnn_test.score_thr, c.rcnn_test.nms_iou_thr, c.rcnn_test.max_per_img,
-                candidates_per_class=c.rcnn_test.nms_candidates_per_class,
-            )
+            return boxes / sf if rescale else boxes
 
-        db, ds, dl, dv = jax.vmap(decode_and_nms)(
-            rois, bbox_deltas, scores, proposals.valid, img_shapes, scale_factors
+        boxes = jax.vmap(decode)(rois, bbox_deltas, img_shapes, scale_factors)
+        db, ds, dl, dv = batched_multiclass_nms(
+            boxes, scores, proposals.valid,
+            c.rcnn_test.score_thr, c.rcnn_test.nms_iou_thr, c.rcnn_test.max_per_img,
+            candidates_per_class=c.rcnn_test.nms_candidates_per_class,
         )
         return Detections(boxes=db, scores=ds, labels=dl, valid=dv)
 

@@ -26,9 +26,8 @@ from ..core.anchors import multilevel_anchors
 from ..core.targets import roi_targets_single
 from ..gs.head import gs_loss, gs_merge_scores
 from ..gs.partition import GSPartition
+from ..kernels import batched_multiclass_nms, batched_multilevel_roi_align
 from ..ops.boxes import delta2bbox
-from ..ops.nms import multiclass_nms
-from ..ops.roi_align import multilevel_roi_align
 from ..ops.mask import mask_target_single
 from .bbox_head import SharedFCBBoxHead, bbox_head_loss, bbox_reg_loss
 from .fpn import FPN
@@ -179,16 +178,14 @@ class FasterRCNN(nn.Module):
         )
 
         # RoIAlign over FPN levels, batched over images
-        pooled = jax.vmap(
-            lambda per_img_feats, rois: multilevel_roi_align(
-                per_img_feats,
-                rois,
-                c.roi_extractor.featmap_strides,
-                c.roi_extractor.out_size,
-                c.roi_extractor.sample_num,
-                c.roi_extractor.finest_scale,
-            )
-        )(feats[: len(c.roi_extractor.featmap_strides)], targets.rois)
+        pooled = batched_multilevel_roi_align(
+            feats[: len(c.roi_extractor.featmap_strides)],
+            targets.rois,
+            c.roi_extractor.featmap_strides,
+            c.roi_extractor.out_size,
+            c.roi_extractor.sample_num,
+            c.roi_extractor.finest_scale,
+        )
 
         cls_logits, bbox_deltas = self.bbox_head(pooled)
 
@@ -247,16 +244,14 @@ class FasterRCNN(nn.Module):
             m_rois = targets.rois[:, :mask_cap]
             # mask branch pools at mask_size/2 (14 for 28x28 masks), the
             # reference's separate mask_roi_extractor (mask_rcnn configs)
-            m_pooled = jax.vmap(
-                lambda per_img_feats, rois: multilevel_roi_align(
-                    per_img_feats,
-                    rois,
-                    c.roi_extractor.featmap_strides,
-                    c.mask_head.mask_size // 2,
-                    c.roi_extractor.sample_num,
-                    c.roi_extractor.finest_scale,
-                )
-            )(feats[: len(c.roi_extractor.featmap_strides)], m_rois)
+            m_pooled = batched_multilevel_roi_align(
+                feats[: len(c.roi_extractor.featmap_strides)],
+                m_rois,
+                c.roi_extractor.featmap_strides,
+                c.mask_head.mask_size // 2,
+                c.roi_extractor.sample_num,
+                c.roi_extractor.finest_scale,
+            )
             mask_logits = self.mask_head(m_pooled)  # (B, cap, 2S, 2S, Cfg)
             m_pos = (targets.labels[:, :mask_cap] > 0) & targets.roi_valid[:, :mask_cap]
             m_targets = jax.vmap(
@@ -300,16 +295,14 @@ class FasterRCNN(nn.Module):
             )
         )(rpn_outs, img_shapes)
 
-        pooled = jax.vmap(
-            lambda per_img_feats, rois: multilevel_roi_align(
-                per_img_feats,
-                rois,
-                c.roi_extractor.featmap_strides,
-                c.roi_extractor.out_size,
-                c.roi_extractor.sample_num,
-                c.roi_extractor.finest_scale,
-            )
-        )(feats[: len(c.roi_extractor.featmap_strides)], proposals.boxes)
+        pooled = batched_multilevel_roi_align(
+            feats[: len(c.roi_extractor.featmap_strides)],
+            proposals.boxes,
+            c.roi_extractor.featmap_strides,
+            c.roi_extractor.out_size,
+            c.roi_extractor.sample_num,
+            c.roi_extractor.finest_scale,
+        )
 
         cls_logits, bbox_deltas = self.bbox_head(pooled)
 
@@ -320,7 +313,7 @@ class FasterRCNN(nn.Module):
         else:
             scores = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
 
-        def decode_and_nms(rois, deltas, sc, valid, shape, sf):
+        def decode(rois, deltas, shape, sf):
             boxes = delta2bbox(
                 rois,
                 deltas.astype(jnp.float32),
@@ -328,25 +321,19 @@ class FasterRCNN(nn.Module):
                 c.bbox_head.target_stds,
                 max_shape=(shape[0], shape[1]),
             )
-            if rescale:
-                boxes = boxes / sf
-            return multiclass_nms(
-                boxes,
-                sc,
-                valid,
-                c.rcnn_test.score_thr,
-                c.rcnn_test.nms_iou_thr,
-                c.rcnn_test.max_per_img,
-                candidates_per_class=c.rcnn_test.nms_candidates_per_class,
-            )
+            return boxes / sf if rescale else boxes
 
-        db, ds, dl, dv = jax.vmap(decode_and_nms)(
-            proposals.boxes,
-            bbox_deltas,
+        boxes = jax.vmap(decode)(
+            proposals.boxes, bbox_deltas, img_shapes, scale_factors
+        )
+        db, ds, dl, dv = batched_multiclass_nms(
+            boxes,
             scores,
             proposals.valid,
-            img_shapes,
-            scale_factors,
+            c.rcnn_test.score_thr,
+            c.rcnn_test.nms_iou_thr,
+            c.rcnn_test.max_per_img,
+            candidates_per_class=c.rcnn_test.nms_candidates_per_class,
         )
         return Detections(boxes=db, scores=ds, labels=dl, valid=dv)
 
@@ -365,16 +352,14 @@ class FasterRCNN(nn.Module):
         c = self.cfg
         feats = self.extract_feats(images)
         rois = det_boxes * scale_factors[:, None, None]
-        pooled = jax.vmap(
-            lambda per_img_feats, r: multilevel_roi_align(
-                per_img_feats,
-                r,
-                c.roi_extractor.featmap_strides,
-                c.mask_head.mask_size // 2,
-                c.roi_extractor.sample_num,
-                c.roi_extractor.finest_scale,
-            )
-        )(feats[: len(c.roi_extractor.featmap_strides)], rois)
+        pooled = batched_multilevel_roi_align(
+            feats[: len(c.roi_extractor.featmap_strides)],
+            rois,
+            c.roi_extractor.featmap_strides,
+            c.mask_head.mask_size // 2,
+            c.roi_extractor.sample_num,
+            c.roi_extractor.finest_scale,
+        )
         logits = self.mask_head(pooled)  # (B, M, 2S, 2S, num_fg)
         if c.mask_head.class_agnostic:
             sel = logits[..., 0]

@@ -30,8 +30,7 @@ from ..gs.head import gs_loss, gs_merge_scores
 from ..gs.partition import GSPartition
 from ..ops.boxes import delta2bbox
 from ..ops.mask import mask_target_single
-from ..ops.nms import multiclass_nms
-from ..ops.roi_align import multilevel_roi_align, roi_align
+from ..kernels import batched_multiclass_nms, batched_multilevel_roi_align
 from .bbox_head import SharedFCBBoxHead, bbox_reg_loss
 from .detector import Detections
 from .fpn import FPN
@@ -114,26 +113,29 @@ class HTC(nn.Module):
 
     def _pool(self, feats, rois_batch, out_size=None):
         c = self.cfg
-        return jax.vmap(
-            lambda per_img_feats, rois: multilevel_roi_align(
-                per_img_feats,
-                rois,
-                c.roi_extractor.featmap_strides,
-                out_size or c.roi_extractor.out_size,
-                c.roi_extractor.sample_num,
-                c.roi_extractor.finest_scale,
-            )
-        )(feats[: len(c.roi_extractor.featmap_strides)], rois_batch)
+        return batched_multilevel_roi_align(
+            feats[: len(c.roi_extractor.featmap_strides)],
+            rois_batch,
+            c.roi_extractor.featmap_strides,
+            out_size or c.roi_extractor.out_size,
+            c.roi_extractor.sample_num,
+            c.roi_extractor.finest_scale,
+        )
 
     def _pool_semantic(self, semantic_feat, rois_batch, out_size):
         """Pool the stride-8 semantic feature for the given rois
-        (semantic_roi_extractor: single level, featmap_strides=[8])."""
+        (semantic_roi_extractor: single level, featmap_strides=[8]).
+        A single-level pyramid routes every roi to level 0."""
         c = self.cfg
         stride = c.anchors.strides[c.htc.fusion_level]
-        return jax.vmap(
-            lambda f, rois: roi_align(f, rois, 1.0 / stride, out_size,
-                                      c.roi_extractor.sample_num)
-        )(semantic_feat, rois_batch)
+        return batched_multilevel_roi_align(
+            (semantic_feat,),
+            rois_batch,
+            (stride,),
+            out_size,
+            c.roi_extractor.sample_num,
+            c.roi_extractor.finest_scale,
+        )
 
     def __call__(self, images):
         feats = self.extract_feats(images)
@@ -353,21 +355,18 @@ class HTC(nn.Module):
         else:
             scores = jax.nn.softmax(avg_logits, axis=-1)
 
-        def decode_and_nms(r, d, sc, valid, shape, sf):
+        def decode(r, d, shape, sf):
             boxes = delta2bbox(
                 r, d.astype(jnp.float32), c.bbox_head.target_means,
                 c.cascade.stage_target_stds[-1], max_shape=(shape[0], shape[1]),
             )
-            if rescale:
-                boxes = boxes / sf
-            return multiclass_nms(
-                boxes, sc, valid,
-                c.rcnn_test.score_thr, c.rcnn_test.nms_iou_thr, c.rcnn_test.max_per_img,
-                candidates_per_class=c.rcnn_test.nms_candidates_per_class,
-            )
+            return boxes / sf if rescale else boxes
 
-        db, ds, dl, dv = jax.vmap(decode_and_nms)(
-            rois, bbox_deltas, scores, proposals.valid, img_shapes, scale_factors
+        boxes = jax.vmap(decode)(rois, bbox_deltas, img_shapes, scale_factors)
+        db, ds, dl, dv = batched_multiclass_nms(
+            boxes, scores, proposals.valid,
+            c.rcnn_test.score_thr, c.rcnn_test.nms_iou_thr, c.rcnn_test.max_per_img,
+            candidates_per_class=c.rcnn_test.nms_candidates_per_class,
         )
         return Detections(boxes=db, scores=ds, labels=dl, valid=dv)
 

@@ -8,11 +8,11 @@ fixpoint entirely on-chip — HBM traffic drops to the boxes in and the keep
 mask out.
 
 Contract (same as ops/nms.py `one_class` over lax.top_k output):
-- boxes (G, K, 4) f32, scores descending per row, invalid slots masked via
-  `valid` (G, K) bool;
+- box coordinates as four (G, K) arrays, scores descending per row,
+  invalid slots masked via `valid` (G, K);
 - returns keep (G, K) bool — exact greedy NMS per row (+1 IoU convention).
 
-K must be a lane multiple (pad to 128*n); G pads to the block size.
+K pads to a lane multiple (128*n); G pads to the row block size.
 """
 
 from __future__ import annotations
@@ -26,17 +26,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _nms_block_kernel(iou_thr, boxes_ref, valid_ref, keep_ref):
-    b = boxes_ref[...]  # (BLK, K, 4) f32
-    v = valid_ref[...] > 0  # (BLK, K)
-    blk, k = v.shape
+def _nms_block_kernel(iou_thr, x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_ref):
+    x1 = x1_ref[...]  # (BLK, K)
+    y1 = y1_ref[...]
+    x2 = x2_ref[...]
+    y2 = y2_ref[...]
+    vf = valid_ref[...].astype(jnp.float32)  # 32-bit before any dim insert
+    blk, k = vf.shape
 
-    x1 = b[:, :, 0]
-    y1 = b[:, :, 1]
-    x2 = b[:, :, 2]
-    y2 = b[:, :, 3]
     area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
-
     ix1 = jnp.maximum(x1[:, :, None], x1[:, None, :])
     iy1 = jnp.maximum(y1[:, :, None], y1[:, None, :])
     ix2 = jnp.minimum(x2[:, :, None], x2[:, None, :])
@@ -50,11 +48,11 @@ def _nms_block_kernel(iou_thr, boxes_ref, valid_ref, keep_ref):
     row = jax.lax.broadcasted_iota(jnp.int32, (blk, k, k), 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (blk, k, k), 2)
     adj = (
-        (iou > iou_thr)
-        & (row < col)  # higher-scored (earlier) suppresses later
-        & v[:, :, None]
-        & v[:, None, :]
-    ).astype(jnp.float32)
+        (iou > iou_thr).astype(jnp.float32)
+        * (row < col).astype(jnp.float32)  # higher-scored suppresses later
+        * vf[:, :, None]
+        * vf[:, None, :]
+    )
 
     def cond(state):
         _, changed = state
@@ -63,12 +61,11 @@ def _nms_block_kernel(iou_thr, boxes_ref, valid_ref, keep_ref):
     def body(state):
         keep, _ = state
         # suppressed[j] = any_i keep[i] & adj[i, j]
-        suppressed = jnp.max(keep[:, :, None] * adj, axis=1) > 0.0
-        new_keep = jnp.where(suppressed, 0.0, v.astype(jnp.float32))
+        suppressed = jnp.max(keep[:, :, None] * adj, axis=1)
+        new_keep = jnp.where(suppressed > 0.0, 0.0, vf)
         return new_keep, jnp.any(new_keep != keep)
 
-    keep0 = v.astype(jnp.float32)
-    keep, _ = jax.lax.while_loop(cond, body, (keep0, jnp.asarray(True)))
+    keep, _ = jax.lax.while_loop(cond, body, (vf, jnp.asarray(True)))
     keep_ref[...] = keep.astype(jnp.int32)
 
 
@@ -83,21 +80,23 @@ def nms_keep_batched(
     g, k = valid.shape
     kp = -(-k // 128) * 128  # lane-align K
     gp = -(-g // block) * block
-    boxes_p = jnp.zeros((gp, kp, 4), jnp.float32).at[:g, :k].set(
-        boxes.astype(jnp.float32)
-    )
+    coords = []
+    for i in range(4):
+        coords.append(
+            jnp.zeros((gp, kp), jnp.float32).at[:g, :k].set(
+                boxes[..., i].astype(jnp.float32)
+            )
+        )
     valid_p = jnp.zeros((gp, kp), jnp.int32).at[:g, :k].set(valid.astype(jnp.int32))
 
     kernel = functools.partial(_nms_block_kernel, iou_thr)
+    spec2d = pl.BlockSpec((block, kp), lambda i: (i, 0), memory_space=pltpu.VMEM)
     keep = pl.pallas_call(
         kernel,
         grid=(gp // block,),
-        in_specs=[
-            pl.BlockSpec((block, kp, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        in_specs=[spec2d] * 5,
+        out_specs=spec2d,
         out_shape=jax.ShapeDtypeStruct((gp, kp), jnp.int32),
         interpret=interpret,
-    )(boxes_p, valid_p)
+    )(*coords, valid_p)
     return keep[:g, :k] > 0

@@ -16,7 +16,7 @@ def test_pallas_nms_matches_greedy_interpret():
 
     keep = np.asarray(
         nms_keep_batched(
-            jnp.asarray(boxes), jnp.asarray(valid), 0.5, block=4, interpret=True
+            jnp.asarray(boxes), jnp.asarray(valid), 0.5, block=8, interpret=True
         )
     )
     for i in range(g):
@@ -34,7 +34,7 @@ def test_pallas_nms_suppression_chain():
     ).astype(np.float32)[None]
     scores = np.linspace(1, 0.5, n).astype(np.float32)
     keep = np.asarray(
-        nms_keep_batched(jnp.asarray(boxes), jnp.ones((1, n), bool), 0.5, block=1, interpret=True)
+        nms_keep_batched(jnp.asarray(boxes), jnp.ones((1, n), bool), 0.5, block=8, interpret=True)
     )[0]
     expected = np_greedy_nms(boxes[0], scores, 0.5)
     np.testing.assert_array_equal(keep, expected)
