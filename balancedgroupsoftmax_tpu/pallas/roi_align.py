@@ -42,10 +42,19 @@ WIN_W = 80  # long-axis window cells
 
 
 def _kernel(
-    # scalar prefetch
+    # scalar prefetch (all 1-D per-roi vectors: 2-D SMEM operands pad the
+    # minor dim to 128 and blow the SMEM budget)
     src_ref,  # (R,) i32: index of the source buffer (level*2 + orient)
-    origin_ref,  # (R, 3) i32: img, y0, x0 (in the oriented frame)
-    geom_ref,  # (R, 8) f32: start_h, start_w, bin_h, bin_w, H, W, orient, _
+    img_ref,  # (R,) i32
+    y0_ref,  # (R,) i32 window origin (oriented frame)
+    x0_ref,  # (R,) i32
+    sh_ref,  # (R,) f32 start_h
+    sw_ref,  # (R,) f32 start_w
+    bh_ref,  # (R,) f32 bin_h
+    bw_ref,  # (R,) f32 bin_w
+    hl_ref,  # (R,) f32 level H
+    wl_ref,  # (R,) f32 level W
+    por_ref,  # (R,) i32 portrait flag
     # inputs (HBM): level0..3 normal, then level0..3 transposed
     *refs_and_out,
     out_size: int,
@@ -58,15 +67,15 @@ def _kernel(
 
     r = pl.program_id(0)
     src = src_ref[r]
-    img = origin_ref[r, 0]
-    y0 = origin_ref[r, 1]
-    x0 = origin_ref[r, 2]
+    img = img_ref[r]
+    y0 = y0_ref[r]
+    x0 = x0_ref[r]
 
     for i, f in enumerate(fs):
         @pl.when(src == i)
         def _(f=f):
             dma = pltpu.make_async_copy(
-                f.at[img, pl.ds(y0, WIN_H), pl.ds(x0, WIN_W), :],
+                f.at[img, pl.ds(y0, WIN_H), pl.ds(pl.multiple_of(x0, 8), WIN_W), :],
                 win_raw,
                 sem,
             )
@@ -74,16 +83,18 @@ def _kernel(
             dma.wait()
 
     os_ = out_size * sample_num
-    start_h = geom_ref[r, 0]
-    start_w = geom_ref[r, 1]
-    bin_h = geom_ref[r, 2]
-    bin_w = geom_ref[r, 3]
-    h_l = geom_ref[r, 4]
-    w_l = geom_ref[r, 5]
-    portrait = geom_ref[r, 6] > 0.5
+    start_h = sh_ref[r]
+    start_w = sw_ref[r]
+    bin_h = bh_ref[r]
+    bin_w = bw_ref[r]
+    h_l = hl_ref[r]
+    w_l = wl_ref[r]
+    portrait = por_ref[r] > 0
 
-    idx = jax.lax.broadcasted_iota(jnp.float32, (os_, 1), 0)
-    grid_pos = idx // sample_num + ((idx % sample_num) + 0.5) / sample_num
+    idx = jax.lax.broadcasted_iota(jnp.int32, (os_, 1), 0).astype(jnp.float32)
+    grid_pos = (
+        jnp.floor(idx / sample_num) + ((idx % sample_num) + 0.5) / sample_num
+    )
 
     def interp_matrix(start, bin_sz, size_l, origin, win):
         """(OS, win) separable bilinear weights, CUDA boundary rules."""
@@ -99,7 +110,9 @@ def _kernel(
         hfrac = 1.0 - lfrac
         low_w = jnp.clip(low - origin, 0.0, win - 1.0)
         high_w = jnp.clip(high - origin, 0.0, win - 1.0)
-        cols = jax.lax.broadcasted_iota(jnp.float32, (os_, win), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (os_, win), 1).astype(
+            jnp.float32
+        )
         m = hfrac * (cols == low_w) + lfrac * (cols == high_w)
         return jnp.where(valid, m, 0.0)
 
@@ -186,15 +199,10 @@ def _forward(
         0,
         jnp.maximum(o_w.astype(jnp.int32) - WIN_W, 0),
     )
+    # Mosaic requires dynamic offsets in the sublane-tiled dim (W) to be
+    # 8-aligned; align down (the window keeps covering the roi start).
+    x0 = (x0 // 8) * 8
     src = lvls + jnp.where(portrait, num_levels, 0)
-    origin = jnp.stack([img_idx, y0, x0], axis=-1)
-    geom = jnp.stack(
-        [
-            o_start_h, o_start_w, o_bin_h, o_bin_w, o_h, o_w,
-            portrait.astype(jnp.float32), jnp.zeros_like(o_h),
-        ],
-        axis=-1,
-    )
 
     def pad_min(f, min_h, min_w):
         ph = max(min_h - f.shape[1], 0)
@@ -210,7 +218,7 @@ def _forward(
     buffers = normal + transposed
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=11,
         grid=(b * r,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 * num_levels),
         out_specs=pl.BlockSpec(
@@ -226,7 +234,20 @@ def _forward(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b * r, os_, os_, c), jnp.float32),
         interpret=interpret,
-    )(src.astype(jnp.int32), origin.astype(jnp.int32), geom, *buffers)
+    )(
+        src.astype(jnp.int32),
+        img_idx.astype(jnp.int32),
+        y0.astype(jnp.int32),
+        x0.astype(jnp.int32),
+        o_start_h,
+        o_start_w,
+        o_bin_h,
+        o_bin_w,
+        o_h,
+        o_w,
+        portrait.astype(jnp.int32),
+        *buffers,
+    )
 
     pooled = samples.reshape(b * r, out_size, sample_num, out_size, sample_num, c).mean(
         axis=(2, 4)
