@@ -66,21 +66,58 @@ def _kernel(
     sem = refs_and_out[-1]
 
     r = pl.program_id(0)
-    src = src_ref[r]
-    img = img_ref[r]
-    y0 = y0_ref[r]
-    x0 = x0_ref[r]
+    n = pl.num_programs(0)
 
-    for i, f in enumerate(fs):
-        @pl.when(src == i)
-        def _(f=f):
-            dma = pltpu.make_async_copy(
-                f.at[img, pl.ds(y0, WIN_H), pl.ds(pl.multiple_of(x0, 8), WIN_W), :],
-                win_raw,
-                sem,
-            )
-            dma.start()
-            dma.wait()
+    def window_copy(ri, slot):
+        """The (identical) DMA descriptor for roi ri into buffer `slot` —
+        reconstructed at start and wait sites (double-buffer pattern)."""
+        src = src_ref[ri]
+        img = img_ref[ri]
+        y0 = y0_ref[ri]
+        x0 = x0_ref[ri]
+        for i, f in enumerate(fs):
+            @pl.when(src == i)
+            def _(f=f):
+                pltpu.make_async_copy(
+                    f.at[
+                        img,
+                        pl.ds(y0, WIN_H),
+                        pl.ds(pl.multiple_of(x0, 8), WIN_W),
+                        :,
+                    ],
+                    win_raw.at[slot],
+                    sem.at[slot],
+                ).start()
+
+    def window_wait(ri, slot):
+        src = src_ref[ri]
+        img = img_ref[ri]
+        y0 = y0_ref[ri]
+        x0 = x0_ref[ri]
+        for i, f in enumerate(fs):
+            @pl.when(src == i)
+            def _(f=f):
+                pltpu.make_async_copy(
+                    f.at[
+                        img,
+                        pl.ds(y0, WIN_H),
+                        pl.ds(pl.multiple_of(x0, 8), WIN_W),
+                        :,
+                    ],
+                    win_raw.at[slot],
+                    sem.at[slot],
+                ).wait()
+
+    # double buffering: program r computes slot r%2 while r+1's window lands
+    @pl.when(r == 0)
+    def _():
+        window_copy(0, 0)
+
+    @pl.when(r + 1 < n)
+    def _():
+        window_copy(r + 1, (r + 1) % 2)
+
+    window_wait(r, r % 2)
 
     os_ = out_size * sample_num
     start_h = sh_ref[r]
@@ -116,25 +153,27 @@ def _kernel(
         m = hfrac * (cols == low_w) + lfrac * (cols == high_w)
         return jnp.where(valid, m, 0.0)
 
-    y0f = y0.astype(jnp.float32)
-    x0f = x0.astype(jnp.float32)
+    y0f = y0_ref[r].astype(jnp.float32)
+    x0f = x0_ref[r].astype(jnp.float32)
     wy = interp_matrix(start_h, bin_h, h_l, y0f, WIN_H)  # (os, WIN_H)
     wx = interp_matrix(start_w, bin_w, w_l, x0f, WIN_W)  # (os, WIN_W)
 
-    win = win_raw[...].astype(jnp.float32)  # (WIN_H, WIN_W, C)
+    win = win_raw[r % 2][...]  # (WIN_H, WIN_W, C), native dtype (bf16 prod)
     c = win.shape[-1]
-    # tmp[i, w, c] = sum_h wy[i, h] * win[h, w, c]
+    wdt = win.dtype
+    # tmp[i, w, c] = sum_h wy[i, h] * win[h, w, c] — matmul in the window's
+    # dtype (bf16 MXU at full rate), f32 accumulation
     tmp = jax.lax.dot_general(
-        wy,
+        wy.astype(wdt),
         win.reshape(WIN_H, WIN_W * c),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(os_, WIN_W, c)
-    # out[j, i, c] = sum_w wx[j, w] * tmp[i, w, c]
-    tmp2 = jnp.transpose(tmp, (1, 0, 2)).reshape(WIN_W, os_ * c)
+    # out[j, i, c] = sum_w wx[j, w] * tmp[i, w, c] — rank-3 contraction
+    # avoids materializing a transposed copy of tmp
     out = jax.lax.dot_general(
-        wx, tmp2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).reshape(os_, os_, c)  # (x-sample, y-sample, C) in the ORIENTED frame
+        wx, tmp, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (j, i, c): x-sample, y-sample, C in the ORIENTED frame
 
     # un-orient: landscape needs (y, x); portrait frame's (x, y) is the
     # original (y, x) already
@@ -225,8 +264,8 @@ def _forward(
             (1, os_, os_, c), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((WIN_H, WIN_W, c), feats[0].dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, WIN_H, WIN_W, c), feats[0].dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     samples = pl.pallas_call(
