@@ -47,6 +47,7 @@ class CascadeRCNN(nn.Module):
             depth=c.backbone.depth,
             groups=c.backbone.groups,
             base_width=c.backbone.base_width,
+            dcn_stages=c.backbone.dcn_stages,
             dtype=self.dtype,
             name="backbone",
         )

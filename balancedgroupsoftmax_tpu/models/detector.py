@@ -55,6 +55,7 @@ class FasterRCNN(nn.Module):
             depth=c.backbone.depth,
             groups=c.backbone.groups,
             base_width=c.backbone.base_width,
+            dcn_stages=c.backbone.dcn_stages,
             dtype=self.dtype,
             name="backbone",
         )

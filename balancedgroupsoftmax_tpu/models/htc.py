@@ -52,6 +52,7 @@ class HTC(nn.Module):
             depth=c.backbone.depth,
             groups=c.backbone.groups,
             base_width=c.backbone.base_width,
+            dcn_stages=c.backbone.dcn_stages,
             dtype=self.dtype,
             name="backbone",
         )

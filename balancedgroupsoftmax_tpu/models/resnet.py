@@ -56,6 +56,7 @@ class Bottleneck(nn.Module):
     stride: int = 1
     groups: int = 1
     base_width: int = 4
+    use_dcn: bool = False  # deformable conv2 (HTC-DCN: dconv c3-c5)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -72,16 +73,29 @@ class Bottleneck(nn.Module):
         y = FrozenBatchNorm(width, name="bn1")(y)
         y = nn.relu(y)
         # style='pytorch': stride on the 3x3
-        y = nn.Conv(
-            width,
-            (3, 3),
-            strides=(self.stride, self.stride),
-            padding=[(1, 1), (1, 1)],
-            use_bias=False,
-            feature_group_count=self.groups,
-            dtype=self.dtype,
-            name="conv2",
-        )(y)
+        if self.use_dcn:
+            from ..ops.deform_conv import DeformConv
+
+            y = DeformConv(
+                width,
+                kernel_size=3,
+                stride=self.stride,
+                padding=1,
+                modulated=True,
+                dtype=self.dtype,
+                name="conv2",
+            )(y)
+        else:
+            y = nn.Conv(
+                width,
+                (3, 3),
+                strides=(self.stride, self.stride),
+                padding=[(1, 1), (1, 1)],
+                use_bias=False,
+                feature_group_count=self.groups,
+                dtype=self.dtype,
+                name="conv2",
+            )(y)
         y = FrozenBatchNorm(width, name="bn2")(y)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
@@ -105,6 +119,7 @@ class ResNet(nn.Module):
     groups: int = 1  # >1 => ResNeXt
     base_width: int = 4
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    dcn_stages: Tuple[bool, ...] = (False, False, False, False)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -133,6 +148,7 @@ class ResNet(nn.Module):
                     stride=stride if b == 0 else 1,
                     groups=self.groups,
                     base_width=self.base_width,
+                    use_dcn=self.dcn_stages[stage],
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{b}",
                 )(x)

@@ -1,0 +1,103 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from balancedgroupsoftmax_tpu.ops.deform_conv import DeformConv, deform_conv2d
+
+
+def test_zero_offset_equals_regular_conv():
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(10, 12, 3).astype(np.float32)
+    w = rng.randn(3, 3, 3, 5).astype(np.float32) * 0.2
+    offsets = np.zeros((10, 12, 18), np.float32)
+    got = np.asarray(
+        deform_conv2d(jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(w))
+    )
+    ref = F.conv2d(
+        torch.from_numpy(np.transpose(x, (2, 0, 1))[None]),
+        torch.from_numpy(np.transpose(w, (3, 2, 0, 1))),
+        padding=1,
+    ).numpy()[0]
+    np.testing.assert_allclose(got, np.transpose(ref, (1, 2, 0)), atol=1e-4)
+
+
+def test_integer_offset_equals_shifted_input():
+    rng = np.random.RandomState(1)
+    x = rng.randn(9, 9, 2).astype(np.float32)
+    # 1x1 "kernel" expressed as 3x3 with only center tap nonzero
+    w = np.zeros((3, 3, 2, 2), np.float32)
+    w[1, 1] = np.eye(2)
+    # shift every sample by (0, +1): output(y,x) = input(y, x+1)
+    offsets = np.zeros((9, 9, 18), np.float32)
+    offsets[..., 2 * 4 + 1] = 1.0  # tap 4 = center; dx = +1
+    got = np.asarray(
+        deform_conv2d(jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(w))
+    )
+    np.testing.assert_allclose(got[:, :-1], x[:, 1:], atol=1e-5)
+    np.testing.assert_allclose(got[:, -1], 0.0, atol=1e-6)  # out of bounds
+
+
+def test_fractional_offset_bilinear():
+    x = np.zeros((5, 5, 1), np.float32)
+    x[2, 2, 0] = 4.0
+    w = np.zeros((3, 3, 1, 1), np.float32)
+    w[1, 1] = 1.0
+    offsets = np.zeros((5, 5, 18), np.float32)
+    offsets[..., 2 * 4] = 0.5  # dy = +0.5 on the center tap
+    got = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(w)))
+    # output at (1,2) samples (1.5, 2) -> bilinear of x[1,2]=0 and x[2,2]=4 -> 2
+    np.testing.assert_allclose(got[1, 2, 0], 2.0, atol=1e-5)
+    np.testing.assert_allclose(got[2, 2, 0], 2.0, atol=1e-5)  # samples (2.5, 2)
+
+
+def test_modulation_mask_scales():
+    rng = np.random.RandomState(2)
+    x = rng.randn(6, 6, 2).astype(np.float32)
+    w = rng.randn(3, 3, 2, 3).astype(np.float32)
+    offsets = np.zeros((6, 6, 18), np.float32)
+    full = deform_conv2d(
+        jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(w),
+        mask=jnp.ones((6, 6, 9)),
+    )
+    half = deform_conv2d(
+        jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(w),
+        mask=jnp.full((6, 6, 9), 0.5),
+    )
+    np.testing.assert_allclose(np.asarray(half), np.asarray(full) * 0.5, atol=1e-5)
+
+
+def test_deform_conv_module_init_as_plain_conv():
+    """Zero-initialized offsets: DCN == plain conv with the same kernel."""
+    model = DeformConv(features=4, modulated=True)
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 8, 8, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (2, 8, 8, 4)
+
+    import flax.linen as nn
+
+    ref_conv = nn.Conv(4, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False)
+    ref = ref_conv.apply(
+        {"params": {"kernel": variables["params"]["kernel"]}}, x
+    )
+    # v2 modulation at init: sigmoid(0) = 0.5 gate on every tap
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref) * 0.5, atol=1e-4)
+
+
+def test_resnet_dcn_stages():
+    from balancedgroupsoftmax_tpu.models.resnet import ResNet
+
+    model = ResNet(depth=50, dcn_stages=(False, False, True, True))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    p = variables["params"]
+    assert "conv_offset" not in p["layer2_block0"]["conv2"]
+    assert "conv_offset" in p["layer3_block0"]["conv2"]
+    assert "conv_offset" in p["layer4_block2"]["conv2"]
+    outs = model.apply(variables, x)
+    assert len(outs) == 4
