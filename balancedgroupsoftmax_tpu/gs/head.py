@@ -40,6 +40,7 @@ def gs_loss(
     roi_valid: jnp.ndarray,  # (N,) bool — padded RoI slots get zero weight
     partition: GSPartition,
     others_sample_ratio: float = 8.0,
+    class_weights: jnp.ndarray | None = None,  # (C,) — GS-reweight variant
 ) -> Dict[str, jnp.ndarray]:
     """Per-bin cross-entropy losses {'loss_cls_bin{i}': scalar}.
 
@@ -49,6 +50,10 @@ def gs_loss(
     the batch its loss is zero (reference `_sample_others` returns zeros,
     gs_bbox_head_with0.py:71-72); if the sample budget exceeds the available
     others, all are used (:80-81).
+
+    `class_weights` scales each foreground RoI's weight inside its own bin
+    by its class weight — the GSBBoxHeadWith0Reweight variant
+    (gs_bbox_head_with0_reweight.py, cls_weight file).
     """
     logits = cls_logits.astype(jnp.float32)
     label2binlabel = jnp.asarray(partition.label2binlabel)  # (B, C)
@@ -85,6 +90,8 @@ def gs_loss(
             )
             # no foreground in this bin -> whole bin skipped
             weight = jnp.where(fg_num > 0, weight, 0.0)
+            if class_weights is not None:  # GS-reweight: fg rois only
+                weight = jnp.where(fg, weight * class_weights[labels], weight)
         avg = jnp.maximum(jnp.sum(weight), 1.0)
         losses[f"loss_cls_bin{i}"] = softmax_cross_entropy(
             bins[i], bin_labels, weight=weight, avg_factor=avg

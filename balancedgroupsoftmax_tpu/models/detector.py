@@ -204,6 +204,11 @@ class FasterRCNN(nn.Module):
                 flat(targets.roi_valid),
                 self.partition,
                 c.bbox_head.gs.others_sample_ratio,
+                class_weights=(
+                    jnp.asarray(np.asarray(self.class_weights))
+                    if self.class_weights is not None and c.bbox_head.loss_cls_type == "reweight"
+                    else None
+                ),
             )
             losses.update(gs_losses)
             # bbox regression identical to the plain head (gs_bbox_head_with0.py:173-186)
