@@ -180,26 +180,42 @@ class LvisEvaluator:
         gt_m = np.zeros((t, ng))
         dt_m = np.zeros((t, nd))
         dt_ig = np.zeros((t, nd))
-        for ti, thr in enumerate(IOU_THRS):
-            if nd == 0 or ng == 0:
-                break
-            for di in range(nd):
-                best = min(thr, 1 - 1e-10)
-                m = -1
-                for gi in range(ng):
-                    if gt_m[ti, gi] > 0:
+        native_done = False
+        if nd > 0 and ng > 0:
+            from .. import native
+
+            res = native.greedy_match(ious, IOU_THRS, gt_ig)
+            if res is not None:
+                n_dt_m, n_gt_m, n_dt_ig = res
+                gt_ids = np.array([g["id"] for g in gts_s])
+                dt_ids = np.array([d["id"] for d in dts_s])
+                matched_d = n_dt_m > 0
+                dt_m[matched_d] = gt_ids[(n_dt_m[matched_d] - 1).astype(int)]
+                matched_g = n_gt_m > 0
+                gt_m[matched_g] = dt_ids[(n_gt_m[matched_g] - 1).astype(int)]
+                dt_ig = n_dt_ig.astype(np.float64)
+                native_done = True
+        if not native_done:
+            for ti, thr in enumerate(IOU_THRS):
+                if nd == 0 or ng == 0:
+                    break
+                for di in range(nd):
+                    best = min(thr, 1 - 1e-10)
+                    m = -1
+                    for gi in range(ng):
+                        if gt_m[ti, gi] > 0:
+                            continue
+                        if m > -1 and gt_ig[m] == 0 and gt_ig[gi] == 1:
+                            break
+                        if ious[di, gi] < best:
+                            continue
+                        best = ious[di, gi]
+                        m = gi
+                    if m == -1:
                         continue
-                    if m > -1 and gt_ig[m] == 0 and gt_ig[gi] == 1:
-                        break
-                    if ious[di, gi] < best:
-                        continue
-                    best = ious[di, gi]
-                    m = gi
-                if m == -1:
-                    continue
-                dt_ig[ti, di] = gt_ig[m]
-                dt_m[ti, di] = gts_s[m]["id"]
-                gt_m[ti, m] = dts_s[di]["id"]
+                    dt_ig[ti, di] = gt_ig[m]
+                    dt_m[ti, di] = gts_s[m]["id"]
+                    gt_m[ti, m] = dts_s[di]["id"]
 
         nel = self.img_nel.get(img_id, set())
         dt_ig_mask = np.array(
