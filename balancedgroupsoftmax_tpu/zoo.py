@@ -13,8 +13,10 @@ from typing import Optional, Tuple
 from .config import (
     BackboneConfig,
     BBoxHeadConfig,
+    CascadeConfig,
     DetectorConfig,
     GSConfig,
+    HTCConfig,
     MaskHeadConfig,
     TrainConfig,
 )
@@ -84,3 +86,77 @@ def faster_rcnn_x101_64x4d_fpn_lvis(num_classes: int = 1231):
         bbox_head=BBoxHeadConfig(num_classes=num_classes),
     )
     return det, TrainConfig()
+
+
+def cascade_rcnn_x101_64x4d_fpn_lvis(
+    num_classes: int = 1231, use_gs: bool = False, partition_path: Optional[str] = None
+) -> Tuple[DetectorConfig, TrainConfig]:
+    """configs/bags/gs_cascade_rcnn_x101_64x4d_fpn_1x_lvis.py equivalent
+    (selectp=3: every stage's fc_cls trains in phase 2)."""
+    det = DetectorConfig(
+        backbone=BackboneConfig(depth=101, groups=64, base_width=4),
+        bbox_head=BBoxHeadConfig(
+            num_classes=num_classes,
+            use_gs=use_gs,
+            gs=GSConfig(partition_path=partition_path),
+        ),
+        cascade=CascadeConfig(),
+    )
+    return det, TrainConfig(selectp=3 if use_gs else 0)
+
+
+def htc_x101_64x4d_fpn_lvis(
+    num_classes: int = 1231,
+    use_gs: bool = False,
+    partition_path: Optional[str] = None,
+    dcn: bool = False,
+) -> Tuple[DetectorConfig, TrainConfig]:
+    """configs/bags/gs_htc_x101_64x4d_fpn_20e_16gpu_lvis.py equivalent;
+    dcn=True adds deformable conv c3-c5 (gs_htc_dconv_* top-line model)."""
+    det = DetectorConfig(
+        backbone=BackboneConfig(
+            depth=101,
+            groups=64,
+            base_width=4,
+            dcn_stages=(False, False, True, True) if dcn else (False,) * 4,
+        ),
+        bbox_head=BBoxHeadConfig(
+            num_classes=num_classes,
+            use_gs=use_gs,
+            gs=GSConfig(partition_path=partition_path),
+        ),
+        mask_head=MaskHeadConfig(num_classes=num_classes),
+        cascade=CascadeConfig(),
+        htc=HTCConfig(),
+    )
+    return det, TrainConfig(selectp=3 if use_gs else 0, total_epochs=20)
+
+
+def faster_rcnn_r50_fpn_rfs_lvis(num_classes: int = 1231):
+    """transferred/faster_rcnn_r50_fpn_1x_lvis_rfs.py: same model; enable
+    repeat-factor sampling in the data pipeline (tools/train.py --use-rfs)."""
+    return faster_rcnn_r50_fpn_lvis(num_classes)
+
+
+def faster_rcnn_r50_fpn_focal_lvis(num_classes: int = 1231, cls_only: bool = True):
+    """transferred/faster_rcnn_r50_fpn_1x_lvis_focalloss*.py equivalents."""
+    det = DetectorConfig(
+        bbox_head=BBoxHeadConfig(num_classes=num_classes, loss_cls_type="focal"),
+    )
+    return det, TrainConfig(selectp=1 if cls_only else 0)
+
+
+def faster_rcnn_r50_fpn_reweight_lvis(
+    num_classes: int = 1231, class_weights_path: Optional[str] = None, cls_only: bool = True
+):
+    """transferred/faster_rcnn_r50_fpn_1x_lvis_reweight*.py equivalents
+    (ReweightBBoxHead + cls_weight file -> gs/partition.py
+    class_weights_from_counts)."""
+    det = DetectorConfig(
+        bbox_head=BBoxHeadConfig(
+            num_classes=num_classes,
+            loss_cls_type="reweight",
+            class_weights_path=class_weights_path,
+        ),
+    )
+    return det, TrainConfig(selectp=1 if cls_only else 0)
