@@ -182,6 +182,47 @@ class DetBatcher:
         return [batches[i] for i in order]
 
 
+class EpisodicBatcher:
+    """Few-shot episodic sampling (loader/sampler.py:173-236 parity).
+
+    Each episode draws `n_ways` classes and `k_shots` images containing each
+    class; batches are episodes. Used by the reference's episodic
+    fine-tuning experiments."""
+
+    def __init__(
+        self,
+        labels_per_image: Sequence[np.ndarray],
+        n_ways: int = 5,
+        k_shots: int = 2,
+        seed: int = 0,
+    ):
+        self.n_ways = n_ways
+        self.k_shots = k_shots
+        self.seed = seed
+        self.class_to_images: Dict[int, list] = {}
+        for i, labels in enumerate(labels_per_image):
+            for c in np.unique(labels):
+                self.class_to_images.setdefault(int(c), []).append(i)
+        # classes with at least k_shots images
+        self.classes = [
+            c for c, imgs in self.class_to_images.items() if len(imgs) >= k_shots
+        ]
+
+    def episodes(self, num_episodes: int, epoch: int = 0) -> List[np.ndarray]:
+        rng = np.random.RandomState(self.seed + epoch)
+        out = []
+        for _ in range(num_episodes):
+            ways = rng.choice(self.classes, min(self.n_ways, len(self.classes)),
+                              replace=False)
+            idx = []
+            for c in ways:
+                idx.extend(
+                    rng.choice(self.class_to_images[c], self.k_shots, replace=False)
+                )
+            out.append(np.asarray(idx))
+        return out
+
+
 def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return dict(
         images=np.stack([s["image"] for s in samples]),

@@ -38,6 +38,12 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--limit", type=int, default=None, help="eval first N images")
     p.add_argument("--no-eval", action="store_true")
+    p.add_argument(
+        "--flip-aug",
+        action="store_true",
+        help="horizontal-flip TTA: run both orientations, map back, merge by "
+        "NMS (MultiScaleFlipAug + merge_augs equivalent at detection level)",
+    )
     return p.parse_args()
 
 
@@ -122,6 +128,45 @@ def main():
         scores = np.asarray(dets.scores)
         labels = np.asarray(dets.labels)
         valid = np.asarray(dets.valid)
+
+        if args.flip_aug:
+            # horizontal-flip TTA (MultiScaleFlipAug equivalent): predict on
+            # the flipped batch, map detections back, merge per class by NMS
+            from balancedgroupsoftmax_tpu.ops.nms import nms_keep as _nk
+
+            f_dets = models[bucket](variables, images[:, :, ::-1], shapes, sfs)
+            f_boxes = np.asarray(f_dets.boxes)
+            f_scores = np.asarray(f_dets.scores)
+            f_labels = np.asarray(f_dets.labels)
+            f_valid = np.asarray(f_dets.valid)
+            for bi in range(len(buf)):
+                # boxes are at ORIGINAL scale: flip across original width
+                ow = float(shapes[bi, 1] / sfs[bi])
+                fb = f_boxes[bi].copy()
+                x1 = fb[:, 0].copy()
+                fb[:, 0] = ow - fb[:, 2] - 1
+                fb[:, 2] = ow - x1 - 1
+                boxes_m = np.concatenate([boxes[bi], fb])
+                scores_m = np.concatenate([scores[bi], f_scores[bi]])
+                labels_m = np.concatenate([labels[bi], f_labels[bi]])
+                valid_m = np.concatenate([valid[bi], f_valid[bi]])
+                # label-offset trick: one NMS call, suppression within class
+                off = labels_m[:, None].astype(np.float64) * 1e5
+                keep_mask = np.asarray(
+                    _nk(jnp.asarray(boxes_m + off), jnp.asarray(scores_m),
+                        jnp.asarray(valid_m), 0.5)
+                )
+                kept = np.where(keep_mask & valid_m)[0]
+                kept = kept[np.argsort(-scores_m[kept], kind="stable")][:300]
+                boxes[bi] = 0
+                scores[bi] = 0
+                labels[bi] = 0
+                valid[bi] = False
+                boxes[bi, : len(kept)] = boxes_m[kept]
+                scores[bi, : len(kept)] = scores_m[kept]
+                labels[bi, : len(kept)] = labels_m[kept]
+                valid[bi, : len(kept)] = True
+
         for bi, (idx, _) in enumerate(buf):
             records.extend(
                 detections_to_records(
