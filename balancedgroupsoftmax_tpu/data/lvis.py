@@ -108,6 +108,12 @@ class LvisDataset:
         )
 
     def image_path(self, idx: int) -> str:
+        """Prefer the stripped COCO filename (reference layout: val2017/
+        000000xxx.jpg, lvis.py:31); fall back to the raw file_name."""
         import os
 
-        return os.path.join(self.img_prefix, self.img_infos[idx]["filename"])
+        info = self.img_infos[idx]
+        p = os.path.join(self.img_prefix, info["filename"])
+        if os.path.exists(p):
+            return p
+        return os.path.join(self.img_prefix, info["file_name"])

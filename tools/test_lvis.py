@@ -84,6 +84,16 @@ def main():
     partition = load_partition(args.partition) if args.partition else None
 
     ds = LvisDataset(args.ann, args.img_prefix, test_mode=True)
+    num_classes = len(ds.cat_ids) + 1
+    if num_classes != det_cfg.bbox_head.num_classes:
+        import dataclasses as _dc
+
+        det_cfg = _dc.replace(
+            det_cfg,
+            bbox_head=_dc.replace(det_cfg.bbox_head, num_classes=num_classes),
+        )
+    if partition is not None:
+        assert partition.num_classes == num_classes
     pcfg = PipelineConfig()
 
     loaded = restore_checkpoint(args.checkpoint)

@@ -89,11 +89,21 @@ def main():
         lr = lr * batch_size / 16.0
     train_cfg = dataclasses.replace(train_cfg, lr=lr)
 
-    partition = load_partition(args.partition) if args.partition else None
-    model = build_detector(det_cfg, partition=partition)
-
     print(f"loading dataset {args.ann}")
     ds = LvisDataset(args.ann, args.img_prefix)
+    num_classes = len(ds.cat_ids) + 1
+    if num_classes != det_cfg.bbox_head.num_classes:
+        det_cfg = dataclasses.replace(
+            det_cfg,
+            bbox_head=dataclasses.replace(det_cfg.bbox_head, num_classes=num_classes),
+        )
+        print(f"model resized to dataset: {num_classes} classes (incl. bg)")
+    partition = load_partition(args.partition) if args.partition else None
+    if partition is not None:
+        assert partition.num_classes == num_classes, (
+            f"partition has {partition.num_classes} classes, dataset {num_classes}"
+        )
+    model = build_detector(det_cfg, partition=partition)
     pcfg = PipelineConfig(max_gt_boxes=det_cfg.max_gt_boxes)
     steps_per_epoch = max(len(ds) // batch_size, 1)
 
