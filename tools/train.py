@@ -143,7 +143,13 @@ def main():
         start_epoch = int(state.step) // steps_per_epoch
         print(f"resumed from {args.resume_from} at step {int(state.step)}")
 
-    mesh = make_mesh()
+    # mesh size = largest divisor of the global batch that fits the devices
+    n_mesh = jax.device_count()
+    while batch_size % n_mesh:
+        n_mesh -= 1
+    mesh = make_mesh(n_mesh)
+    if n_mesh != jax.device_count():
+        print(f"using {n_mesh}/{jax.device_count()} devices (batch {batch_size})")
     step_fn = shard_train_step(make_train_step(model, tx), mesh)
     state = jax.device_put(
         state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
