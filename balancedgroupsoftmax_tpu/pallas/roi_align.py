@@ -39,6 +39,7 @@ from ..ops.roi_align import map_roi_levels
 
 WIN_H = 32  # short-axis window cells
 WIN_W = 80  # long-axis window cells
+ROIS_PER_BLOCK = 4  # rois per grid step (amortizes per-program overhead)
 
 
 def _kernel(
@@ -65,60 +66,59 @@ def _kernel(
     win_raw = refs_and_out[-2]
     sem = refs_and_out[-1]
 
-    r = pl.program_id(0)
-    n = pl.num_programs(0)
+    blk = pl.program_id(0)
 
-    def window_copy(ri, slot):
+    def window_dma(ri, slot):
         """The (identical) DMA descriptor for roi ri into buffer `slot` —
-        reconstructed at start and wait sites (double-buffer pattern)."""
+        reconstructed at start and wait sites."""
         src = src_ref[ri]
         img = img_ref[ri]
         y0 = y0_ref[ri]
         x0 = x0_ref[ri]
+        copies = []
         for i, f in enumerate(fs):
-            @pl.when(src == i)
-            def _(f=f):
-                pltpu.make_async_copy(
-                    f.at[
-                        img,
-                        pl.ds(y0, WIN_H),
-                        pl.ds(pl.multiple_of(x0, 8), WIN_W),
-                        :,
-                    ],
-                    win_raw.at[slot],
-                    sem.at[slot],
-                ).start()
+            copies.append(
+                (
+                    src == i,
+                    pltpu.make_async_copy(
+                        f.at[
+                            img,
+                            pl.ds(y0, WIN_H),
+                            pl.ds(pl.multiple_of(x0, 8), WIN_W),
+                            :,
+                        ],
+                        win_raw.at[slot],
+                        sem.at[slot],
+                    ),
+                )
+            )
+        return copies
 
-    def window_wait(ri, slot):
-        src = src_ref[ri]
-        img = img_ref[ri]
-        y0 = y0_ref[ri]
-        x0 = x0_ref[ri]
-        for i, f in enumerate(fs):
-            @pl.when(src == i)
-            def _(f=f):
-                pltpu.make_async_copy(
-                    f.at[
-                        img,
-                        pl.ds(y0, WIN_H),
-                        pl.ds(pl.multiple_of(x0, 8), WIN_W),
-                        :,
-                    ],
-                    win_raw.at[slot],
-                    sem.at[slot],
-                ).wait()
+    # issue all ROIS_PER_BLOCK window DMAs up front (the DMA engine
+    # pipelines them; compute of roi j overlaps the later transfers)
+    for j in range(ROIS_PER_BLOCK):
+        for cond, dma in window_dma(blk * ROIS_PER_BLOCK + j, j):
+            @pl.when(cond)
+            def _(dma=dma):
+                dma.start()
 
-    # double buffering: program r computes slot r%2 while r+1's window lands
-    @pl.when(r == 0)
-    def _():
-        window_copy(0, 0)
+    for j in range(ROIS_PER_BLOCK):
+        r = blk * ROIS_PER_BLOCK + j
+        for cond, dma in window_dma(r, j):
+            @pl.when(cond)
+            def _(dma=dma):
+                dma.wait()
+        _compute_one_roi(
+            r, j, src_ref, img_ref, y0_ref, x0_ref, sh_ref, sw_ref, bh_ref,
+            bw_ref, hl_ref, wl_ref, por_ref, win_raw, out_ref, out_size,
+            sample_num,
+        )
 
-    @pl.when(r + 1 < n)
-    def _():
-        window_copy(r + 1, (r + 1) % 2)
 
-    window_wait(r, r % 2)
-
+def _compute_one_roi(
+    r, j, src_ref, img_ref, y0_ref, x0_ref, sh_ref, sw_ref, bh_ref, bw_ref,
+    hl_ref, wl_ref, por_ref, win_raw, out_ref, out_size, sample_num,
+):
     os_ = out_size * sample_num
     start_h = sh_ref[r]
     start_w = sw_ref[r]
@@ -158,7 +158,7 @@ def _kernel(
     wy = interp_matrix(start_h, bin_h, h_l, y0f, WIN_H)  # (os, WIN_H)
     wx = interp_matrix(start_w, bin_w, w_l, x0f, WIN_W)  # (os, WIN_W)
 
-    win = win_raw[r % 2][...]  # (WIN_H, WIN_W, C), native dtype (bf16 prod)
+    win = win_raw[j][...]  # (WIN_H, WIN_W, C), native dtype (bf16 prod)
     c = win.shape[-1]
     wdt = win.dtype
     # tmp[i, w, c] = sum_h wy[i, h] * win[h, w, c] — matmul in the window's
@@ -179,11 +179,11 @@ def _kernel(
     # original (y, x) already
     @pl.when(portrait)
     def _():
-        out_ref[0] = out
+        out_ref[j] = out
 
     @pl.when(jnp.logical_not(portrait))
     def _():
-        out_ref[0] = jnp.transpose(out, (1, 0, 2))
+        out_ref[j] = jnp.transpose(out, (1, 0, 2))
 
 
 def _forward(
@@ -256,37 +256,45 @@ def _forward(
     ]
     buffers = normal + transposed
 
+    rb = ROIS_PER_BLOCK
+    n_rois = b * r
+    n_pad = (-n_rois) % rb
+    if n_pad:
+        pad1 = lambda a: jnp.concatenate([a, jnp.zeros((n_pad,), a.dtype)])
+    else:
+        pad1 = lambda a: a
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=11,
-        grid=(b * r,),
+        grid=((n_rois + n_pad) // rb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 * num_levels),
         out_specs=pl.BlockSpec(
-            (1, os_, os_, c), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (rb, os_, os_, c), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, WIN_H, WIN_W, c), feats[0].dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((rb, WIN_H, WIN_W, c), feats[0].dtype),
+            pltpu.SemaphoreType.DMA((rb,)),
         ],
     )
     samples = pl.pallas_call(
         functools.partial(_kernel, out_size=out_size, sample_num=sample_num),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b * r, os_, os_, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rois + n_pad, os_, os_, c), jnp.float32),
         interpret=interpret,
     )(
-        src.astype(jnp.int32),
-        img_idx.astype(jnp.int32),
-        y0.astype(jnp.int32),
-        x0.astype(jnp.int32),
-        o_start_h,
-        o_start_w,
-        o_bin_h,
-        o_bin_w,
-        o_h,
-        o_w,
-        portrait.astype(jnp.int32),
+        pad1(src.astype(jnp.int32)),
+        pad1(img_idx.astype(jnp.int32)),
+        pad1(y0.astype(jnp.int32)),
+        pad1(x0.astype(jnp.int32)),
+        pad1(o_start_h),
+        pad1(o_start_w),
+        pad1(o_bin_h),
+        pad1(o_bin_w),
+        pad1(o_h),
+        pad1(o_w),
+        pad1(portrait.astype(jnp.int32)),
         *buffers,
-    )
+    )[:n_rois]
 
     pooled = samples.reshape(b * r, out_size, sample_num, out_size, sample_num, c).mean(
         axis=(2, 4)
