@@ -108,6 +108,10 @@ class LvisEvaluator:
                 if "area" not in d:
                     if iou_type == "bbox" or "segmentation" not in d:
                         d["area"] = float(d["bbox"][2] * d["bbox"][3])
+                    else:  # segm: RLE mask area (results.py parity)
+                        from ..utils.rle import rle_area
+
+                        d["area"] = float(rle_area(d["segmentation"]))
                 self.dts_by_img_cat[(img_id, d["category_id"])].append(d)
 
         # --- GT index ------------------------------------------------------
@@ -146,13 +150,34 @@ class LvisEvaluator:
                 self.freq_groups[0 if n < 10 else (1 if n < 100 else 2)].append(idx)
 
     # --- per-(img, cat) evaluation ---------------------------------------
+    def _default_mask_iou(self, dts, gts):
+        """Decode det RLEs / GT polygons+RLEs to bitmaps, IoU via the native
+        kernel (lvis-api _to_mask + mask_utils.iou parity)."""
+        from .. import native
+        from ..utils.rle import decode_rle, segmentation_to_mask
+
+        if not dts or not gts:
+            return np.zeros((len(dts), len(gts)))
+        img = self.imgs[gts[0]["image_id"]]
+        h, w = img["height"], img["width"]
+        dm = np.stack(
+            [decode_rle(d["segmentation"]).reshape(-1) for d in dts]
+        ).astype(np.uint8)
+        gm = np.stack(
+            [
+                segmentation_to_mask(g["segmentation"], h, w).reshape(-1)
+                for g in gts
+            ]
+        ).astype(np.uint8)
+        return native.mask_iou_bitmaps(dm, gm)
+
     def _compute_iou(self, gts, dts):
         idx = np.argsort([-d["score"] for d in dts], kind="mergesort")
         dts = [dts[i] for i in idx]
         if self.iou_type == "bbox":
             return box_iou_xywh([d["bbox"] for d in dts], [g["bbox"] for g in gts])
-        assert self.compute_mask_iou is not None, "segm eval needs a mask IoU fn"
-        return self.compute_mask_iou(dts, gts)
+        fn = self.compute_mask_iou or self._default_mask_iou
+        return fn(dts, gts)
 
     def _evaluate_img(self, img_id, cat_id, area_rng, ious_sorted):
         gts = self.gts_by_img_cat.get((img_id, cat_id), [])

@@ -27,7 +27,9 @@ import numpy as np
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="faster_rcnn_r50",
-                   choices=["faster_rcnn_r50", "gs_faster_rcnn_r50", "faster_rcnn_x101"])
+                   choices=["faster_rcnn_r50", "gs_faster_rcnn_r50",
+                            "faster_rcnn_x101", "mask_rcnn_r50",
+                            "gs_mask_rcnn_r50"])
     p.add_argument("--ann", required=True)
     p.add_argument("--img-prefix", required=True)
     p.add_argument("--checkpoint", required=True)
@@ -79,6 +81,8 @@ def main():
         "faster_rcnn_r50": zoo.faster_rcnn_r50_fpn_lvis,
         "gs_faster_rcnn_r50": zoo.gs_faster_rcnn_r50_fpn_lvis,
         "faster_rcnn_x101": zoo.faster_rcnn_x101_64x4d_fpn_lvis,
+        "mask_rcnn_r50": zoo.mask_rcnn_r50_fpn_lvis,
+        "gs_mask_rcnn_r50": lambda **kw: zoo.mask_rcnn_r50_fpn_lvis(use_gs=True, **kw),
     }
     det_cfg, _ = builders[args.model]()
     partition = load_partition(args.partition) if args.partition else None
@@ -116,7 +120,14 @@ def main():
         fn = jax.jit(
             lambda v, im, sh, sf, m=model: m.apply(v, im, sh, sf, method="predict")
         )
-        models[bucket] = fn
+        mask_fn = None
+        if det_cfg.mask_head is not None:
+            mask_fn = jax.jit(
+                lambda v, im, db, dl, sf, m=model: m.apply(
+                    v, im, db, dl, sf, method="predict_masks"
+                )
+            )
+        models[bucket] = (fn, mask_fn)
 
     variables = {"params": params,
                  "batch_stats": loaded.get("batch_stats", {})}
@@ -133,18 +144,24 @@ def main():
         images = jnp.asarray(np.stack([s["image"] for s in samples]))
         shapes = jnp.asarray(np.stack([s["img_shape"] for s in samples]))
         sfs = jnp.asarray(np.stack([s["scale_factor"] for s in samples]))
-        dets = models[bucket](variables, images, shapes, sfs)
+        fn, mask_fn = models[bucket]
+        dets = fn(variables, images, shapes, sfs)
         boxes = np.asarray(dets.boxes)
         scores = np.asarray(dets.scores)
         labels = np.asarray(dets.labels)
         valid = np.asarray(dets.valid)
+        mask_probs = None
+        if mask_fn is not None:
+            mask_probs = np.asarray(
+                mask_fn(variables, images, dets.boxes, dets.labels, sfs)
+            )
 
         if args.flip_aug:
             # horizontal-flip TTA (MultiScaleFlipAug equivalent): predict on
             # the flipped batch, map detections back, merge per class by NMS
             from balancedgroupsoftmax_tpu.ops.nms import nms_keep as _nk
 
-            f_dets = models[bucket](variables, images[:, :, ::-1], shapes, sfs)
+            f_dets = fn(variables, images[:, :, ::-1], shapes, sfs)
             f_boxes = np.asarray(f_dets.boxes)
             f_scores = np.asarray(f_dets.scores)
             f_labels = np.asarray(f_dets.labels)
@@ -178,12 +195,24 @@ def main():
                 valid[bi, : len(kept)] = True
 
         for bi, (idx, _) in enumerate(buf):
-            records.extend(
-                detections_to_records(
-                    ds.img_infos[idx]["id"], boxes[bi], scores[bi], labels[bi],
-                    valid[bi], ds.cat_ids,
-                )
+            recs = detections_to_records(
+                ds.img_infos[idx]["id"], boxes[bi], scores[bi], labels[bi],
+                valid[bi], ds.cat_ids,
             )
+            if mask_probs is not None:
+                # paste + RLE-encode each detection's mask at original size
+                from balancedgroupsoftmax_tpu.ops.mask import paste_mask
+                from balancedgroupsoftmax_tpu.utils.rle import encode_mask
+
+                info = ds.img_infos[idx]
+                vi = np.where(valid[bi])[0]
+                for rec, di in zip(recs, vi):
+                    full = paste_mask(
+                        mask_probs[bi, di], boxes[bi, di],
+                        info["height"], info["width"],
+                    )
+                    rec["segmentation"] = encode_mask(full)
+            records.extend(recs)
         batch_buf[bucket] = []
 
     for idx in range(n):
@@ -219,7 +248,13 @@ def main():
             ]
         ev = LvisEvaluator(gt, records)
         ev.run()
+        print("bbox results:")
         ev.print_results()
+        if det_cfg.mask_head is not None and records and "segmentation" in records[0]:
+            ev_m = LvisEvaluator(gt, records, iou_type="segm")
+            ev_m.run()
+            print("segm results:")
+            ev_m.print_results()
 
 
 if __name__ == "__main__":

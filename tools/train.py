@@ -30,7 +30,9 @@ import numpy as np
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="faster_rcnn_r50",
-                   choices=["faster_rcnn_r50", "gs_faster_rcnn_r50", "faster_rcnn_x101"])
+                   choices=["faster_rcnn_r50", "gs_faster_rcnn_r50",
+                            "faster_rcnn_x101", "mask_rcnn_r50",
+                            "gs_mask_rcnn_r50"])
     p.add_argument("--ann", required=True)
     p.add_argument("--img-prefix", required=True)
     p.add_argument("--partition", default=None, help=".npz from tools/gs_partition.py")
@@ -75,6 +77,8 @@ def main():
         "faster_rcnn_r50": zoo.faster_rcnn_r50_fpn_lvis,
         "gs_faster_rcnn_r50": zoo.gs_faster_rcnn_r50_fpn_lvis,
         "faster_rcnn_x101": zoo.faster_rcnn_x101_64x4d_fpn_lvis,
+        "mask_rcnn_r50": zoo.mask_rcnn_r50_fpn_lvis,
+        "gs_mask_rcnn_r50": lambda **kw: zoo.mask_rcnn_r50_fpn_lvis(use_gs=True, **kw),
     }
     det_cfg, train_cfg = builders[args.model]()
     if args.selectp is not None:
@@ -168,12 +172,25 @@ def main():
 
     import cv2
 
+    with_masks = det_cfg.mask_head is not None
+
     def load_sample(idx, rng):
         info = ds.img_infos[idx]
         img = cv2.imread(ds.image_path(idx))
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         ann = ds.get_ann_info(idx)
-        return preprocess_image(img, ann["bboxes"], ann["labels"], pcfg, True, rng)
+        s = preprocess_image(img, ann["bboxes"], ann["labels"], pcfg, True, rng)
+        if with_masks:
+            from balancedgroupsoftmax_tpu.ops.mask import rasterize_gt_masks
+
+            crops = rasterize_gt_masks(
+                ann["masks"], ann["bboxes"], info["height"], info["width"],
+                capacity=pcfg.max_gt_boxes,
+            )
+            if s["flipped"]:
+                crops = crops[:, :, ::-1].copy()
+            s["gt_mask_crops"] = crops
+        return s
 
     key = jax.random.PRNGKey(args.seed)
     rng = np.random.RandomState(args.seed)
@@ -185,6 +202,10 @@ def main():
         for batch_idx in batcher.epoch_batches(epoch):
             samples = [load_sample(i, rng) for i in batch_idx]
             batch = collate(samples)
+            if with_masks:
+                batch["gt_mask_crops"] = np.stack(
+                    [s["gt_mask_crops"] for s in samples]
+                )
             batch = {k: jnp.asarray(v) for k, v in batch.items()
                      if k != "scale_factors"}
             batch = shard_batch(batch, mesh)
