@@ -51,6 +51,11 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--max-steps", type=int, default=None, help="debug cap")
+    p.add_argument("--val-ann", default=None,
+                   help="val annotation json: evaluate after each epoch "
+                        "(DistEvalHook equivalent)")
+    p.add_argument("--val-img-prefix", default=None)
+    p.add_argument("--val-limit", type=int, default=None)
     return p.parse_args()
 
 
@@ -229,6 +234,23 @@ def main():
                  step=np.asarray(int(state.step)))
         ))
         print(f"saved {ckpt}")
+        if args.val_ann:
+            # epoch-end evaluation (DistEvalHook equivalent): run the eval
+            # CLI on the fresh checkpoint
+            import subprocess
+
+            cmd = [
+                sys.executable, "tools/test_lvis.py",
+                "--model", args.model, "--ann", args.val_ann,
+                "--img-prefix", args.val_img_prefix or args.img_prefix,
+                "--checkpoint", ckpt,
+            ]
+            if args.partition:
+                cmd += ["--partition", args.partition]
+            if args.val_limit:
+                cmd += ["--limit", str(args.val_limit)]
+            print(f"[epoch {epoch + 1}] validation:")
+            subprocess.run(cmd, check=False)
         if args.max_steps and global_step >= args.max_steps:
             break
 
