@@ -36,6 +36,21 @@ class PipelineConfig:
     max_gt_boxes: int = 100
     mean: np.ndarray = dataclasses.field(default_factory=lambda: IMAGENET_MEAN)
     std: np.ndarray = dataclasses.field(default_factory=lambda: IMAGENET_STD)
+    # multi-scale training (HTC mstrain configs: short side sampled in
+    # [400, 1400], transforms.py Resize img_scale ranges): short side drawn
+    # uniformly per image; the padding bucket grows to fit the max scale.
+    multiscale_range: Optional[Tuple[int, int]] = None
+
+    def buckets(self) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+        """(landscape, portrait) static pad buckets for this scale setup."""
+        long_side = max(self.scale)
+        short = (
+            max(self.scale[1], self.multiscale_range[1])
+            if self.multiscale_range
+            else min(self.scale)
+        )
+        pad = lambda v: -(-v // 32) * 32
+        return (pad(short), pad(long_side)), (pad(long_side), pad(short))
 
 
 def rescale_size(w: int, h: int, scale: Tuple[int, int]) -> Tuple[int, int, float]:
@@ -57,7 +72,11 @@ def preprocess_image(
     import cv2
 
     h0, w0 = img.shape[:2]
-    new_w, new_h, _ = rescale_size(w0, h0, cfg.scale)
+    scale = cfg.scale
+    if train and cfg.multiscale_range is not None and rng is not None:
+        short = int(rng.randint(cfg.multiscale_range[0], cfg.multiscale_range[1] + 1))
+        scale = (max(cfg.scale), short)
+    new_w, new_h, _ = rescale_size(w0, h0, scale)
     resized = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
     w_scale = new_w / w0
     h_scale = new_h / h0
@@ -75,7 +94,8 @@ def preprocess_image(
 
     norm = (resized.astype(np.float32) - cfg.mean) / cfg.std
 
-    bucket = LANDSCAPE_BUCKET if new_w >= new_h else PORTRAIT_BUCKET
+    land, port = cfg.buckets()
+    bucket = land if new_w >= new_h else port
     bh, bw = bucket
     padded = np.zeros((bh, bw, 3), np.float32)
     padded[:new_h, :new_w] = norm
