@@ -134,6 +134,9 @@ class BackboneConfig:
     base_width: int = 4
     # stages where deformable conv replaces the 3x3 (HTC-DCN)
     dcn_stages: Tuple[bool, ...] = (False, False, False, False)
+    # rematerialize residual blocks (jax.checkpoint) — trades FLOPs for
+    # activation memory, enabling larger train batches
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

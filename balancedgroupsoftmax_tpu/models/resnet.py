@@ -120,6 +120,7 @@ class ResNet(nn.Module):
     base_width: int = 4
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     dcn_stages: Tuple[bool, ...] = (False, False, False, False)
+    remat: bool = False  # rematerialize blocks (activation checkpointing)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -139,11 +140,12 @@ class ResNet(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         outs = []
+        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
         for stage, num_blocks in enumerate(blocks):
             planes = 64 * (2**stage)
             stride = 1 if stage == 0 else 2
             for b in range(num_blocks):
-                x = Bottleneck(
+                x = block_cls(
                     planes=planes,
                     stride=stride if b == 0 else 1,
                     groups=self.groups,
