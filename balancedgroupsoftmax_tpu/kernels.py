@@ -47,6 +47,39 @@ def batched_multilevel_roi_align(
     )(tuple(feats), rois)
 
 
+def batched_nms_topk(
+    boxes: jnp.ndarray,  # (G, K, 4), rows score-descending
+    scores: jnp.ndarray,  # (G, K)
+    valid: jnp.ndarray,  # (G, K)
+    iou_thr: float,
+    max_out: int,
+):
+    """Greedy NMS per row + top-`max_out` kept, batched (RPN per-level path).
+
+    Returns (boxes (G, max_out, 4), scores (G, max_out), valid (G, max_out)).
+    """
+    g, k = valid.shape
+    if pallas_enabled():
+        from .pallas.nms import nms_keep_batched
+
+        keep = nms_keep_batched(boxes, valid, iou_thr)
+    else:
+        from .ops.nms import nms_keep
+
+        keep = jax.vmap(
+            lambda b, v: nms_keep(b, jnp.zeros(k), v, iou_thr, presorted=True)
+        )(boxes, valid)
+    masked = jnp.where(keep & valid, scores, -jnp.inf)
+    m = min(max_out, k)
+    top, idx = jax.lax.top_k(masked, m)
+    if m < max_out:
+        top = jnp.pad(top, ((0, 0), (0, max_out - m)), constant_values=-jnp.inf)
+        idx = jnp.pad(idx, ((0, 0), (0, max_out - m)))
+    out_valid = jnp.isfinite(top)
+    out_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    return out_boxes, jnp.where(out_valid, top, 0.0), out_valid
+
+
 def batched_multiclass_nms(
     boxes: jnp.ndarray,  # (B, N, 4) or (B, N, C*4)
     scores: jnp.ndarray,  # (B, N, C)

@@ -30,7 +30,7 @@ from .bbox_head import SharedFCBBoxHead, bbox_head_loss, bbox_reg_loss
 from .detector import Detections
 from .fpn import FPN
 from .resnet import ResNet
-from .rpn import RPNHead, rpn_loss, rpn_proposals_single
+from .rpn import RPNHead, rpn_loss, rpn_proposals_batched, rpn_proposals_single
 
 
 class CascadeRCNN(nn.Module):
@@ -143,11 +143,9 @@ class CascadeRCNN(nn.Module):
         detached = [
             (jax.lax.stop_gradient(cm), jax.lax.stop_gradient(rm)) for cm, rm in rpn_outs
         ]
-        proposals = jax.vmap(
-            lambda lo, shape: rpn_proposals_single(
-                lo, anchors, (shape[0], shape[1]), c.rpn_proposal_train
-            )
-        )(detached, img_shapes)
+        proposals = rpn_proposals_batched(
+            detached, anchors, img_shapes, c.rpn_proposal_train
+        )
         prop_boxes, prop_valid = proposals.boxes, proposals.valid
 
         s = c.rcnn_train.sampler.num
@@ -237,11 +235,9 @@ class CascadeRCNN(nn.Module):
         feats = self.extract_feats(images)
         rpn_outs = self.rpn_head(feats)
         anchors = self._anchors()
-        proposals = jax.vmap(
-            lambda lo, shape: rpn_proposals_single(
-                lo, anchors, (shape[0], shape[1]), c.rpn_proposal_test
-            )
-        )(rpn_outs, img_shapes)
+        proposals = rpn_proposals_batched(
+            rpn_outs, anchors, img_shapes, c.rpn_proposal_test
+        )
 
         rois = proposals.boxes
         ms_logits = []

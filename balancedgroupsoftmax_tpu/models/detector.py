@@ -33,7 +33,7 @@ from .bbox_head import SharedFCBBoxHead, bbox_head_loss, bbox_reg_loss
 from .fpn import FPN
 from .mask_head import FCNMaskHead, mask_head_loss
 from .resnet import ResNet
-from .rpn import RPNHead, rpn_loss, rpn_proposals_single
+from .rpn import RPNHead, rpn_loss, rpn_proposals_batched, rpn_proposals_single
 
 
 class Detections(NamedTuple):
@@ -145,16 +145,13 @@ class FasterRCNN(nn.Module):
 
         # proposals (no gradient through RPN outputs here, two_stage.py treats
         # proposal generation as a detached op)
-        def one_image_proposals(level_outs, shape):
-            return rpn_proposals_single(
-                level_outs, anchors, (shape[0], shape[1]), c.rpn_proposal_train
-            )
-
         detached = [
             (jax.lax.stop_gradient(cm), jax.lax.stop_gradient(rm))
             for cm, rm in rpn_outs
         ]
-        proposals = jax.vmap(one_image_proposals)(detached, img_shapes)
+        proposals = rpn_proposals_batched(
+            detached, anchors, img_shapes, c.rpn_proposal_train
+        )
 
         # RoI targets per image
         roi_keys = jax.random.split(k_roi, b)
@@ -296,11 +293,9 @@ class FasterRCNN(nn.Module):
         rpn_outs = self.rpn_head(feats)
         anchors = self._anchors()
 
-        proposals = jax.vmap(
-            lambda lo, shape: rpn_proposals_single(
-                lo, anchors, (shape[0], shape[1]), c.rpn_proposal_test
-            )
-        )(rpn_outs, img_shapes)
+        proposals = rpn_proposals_batched(
+            rpn_outs, anchors, img_shapes, c.rpn_proposal_test
+        )
 
         pooled = batched_multilevel_roi_align(
             feats[: len(c.roi_extractor.featmap_strides)],

@@ -36,7 +36,7 @@ from .detector import Detections
 from .fpn import FPN
 from .mask_head import FCNMaskHead, mask_head_loss
 from .resnet import ResNet
-from .rpn import RPNHead, rpn_loss, rpn_proposals_single
+from .rpn import RPNHead, rpn_loss, rpn_proposals_batched, rpn_proposals_single
 from .semantic_head import FusedSemanticHead, semantic_seg_loss
 
 
@@ -192,11 +192,9 @@ class HTC(nn.Module):
         detached = [
             (jax.lax.stop_gradient(cm), jax.lax.stop_gradient(rm)) for cm, rm in rpn_outs
         ]
-        proposals = jax.vmap(
-            lambda lo, shape: rpn_proposals_single(
-                lo, anchors, (shape[0], shape[1]), c.rpn_proposal_train
-            )
-        )(detached, img_shapes)
+        proposals = rpn_proposals_batched(
+            detached, anchors, img_shapes, c.rpn_proposal_train
+        )
         prop_boxes, prop_valid = proposals.boxes, proposals.valid
 
         s = c.rcnn_train.sampler.num
@@ -326,11 +324,9 @@ class HTC(nn.Module):
         rpn_outs = self.rpn_head(feats)
         _, sem_feat = self.semantic_head(feats)
         anchors = self._anchors()
-        proposals = jax.vmap(
-            lambda lo, shape: rpn_proposals_single(
-                lo, anchors, (shape[0], shape[1]), c.rpn_proposal_test
-            )
-        )(rpn_outs, img_shapes)
+        proposals = rpn_proposals_batched(
+            rpn_outs, anchors, img_shapes, c.rpn_proposal_test
+        )
 
         rois = proposals.boxes
         ms_logits = []

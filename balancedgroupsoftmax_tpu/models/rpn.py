@@ -69,6 +69,68 @@ class Proposals(NamedTuple):
     valid: jnp.ndarray  # (P,) bool
 
 
+def rpn_proposals_batched(
+    level_outs,  # per level ((B, H, W, A), (B, H, W, A*4))
+    anchors: Sequence[jnp.ndarray],  # per level (H*W*A, 4)
+    img_shapes: jnp.ndarray,  # (B, 2) content (h, w)
+    cfg: ProposalConfig,
+    target_means=(0.0, 0.0, 0.0, 0.0),
+    target_stds=(1.0, 1.0, 1.0, 1.0),
+) -> Proposals:
+    """Batched proposal generation: per-level top-k + batched NMS kernel.
+
+    Same semantics as vmap(rpn_proposals_single) but the per-level NMS runs
+    through kernels.batched_nms_topk — one (B*L)-row kernel launch instead
+    of the (B, L)-vmapped XLA fixpoint (the RPN hot spot at inference).
+    """
+    from ..kernels import batched_nms_topk
+
+    b = level_outs[0][0].shape[0]
+    lvl_boxes, lvl_scores, lvl_valid = [], [], []
+    hmax = img_shapes[:, 0]
+    wmax = img_shapes[:, 1]
+    for (cls_map, reg_map), anc in zip(level_outs, anchors):
+        scores = jax.nn.sigmoid(cls_map.astype(jnp.float32).reshape(b, -1))
+        deltas = reg_map.astype(jnp.float32).reshape(b, -1, 4)
+        n = scores.shape[1]
+        k = min(cfg.nms_pre, n)
+        top_scores, top_idx = jax.lax.top_k(scores, k)  # (B, K) sorted desc
+        top_deltas = jnp.take_along_axis(deltas, top_idx[..., None], axis=1)
+        top_anchors = anc[top_idx]
+        boxes = delta2bbox(top_anchors, top_deltas, target_means, target_stds)
+        # per-image clip to content region
+        boxes = jnp.stack(
+            [
+                jnp.clip(boxes[..., 0], 0, wmax[:, None] - 1),
+                jnp.clip(boxes[..., 1], 0, hmax[:, None] - 1),
+                jnp.clip(boxes[..., 2], 0, wmax[:, None] - 1),
+                jnp.clip(boxes[..., 3], 0, hmax[:, None] - 1),
+            ],
+            axis=-1,
+        )
+        valid = jnp.ones((b, k), bool)
+        if cfg.min_bbox_size > 0:
+            w = boxes[..., 2] - boxes[..., 0] + 1
+            h = boxes[..., 3] - boxes[..., 1] + 1
+            valid &= (w >= cfg.min_bbox_size) & (h >= cfg.min_bbox_size)
+        nb, ns, nv = batched_nms_topk(boxes, top_scores, valid, cfg.nms_thr, cfg.nms_post)
+        lvl_boxes.append(nb)
+        lvl_scores.append(ns)
+        lvl_valid.append(nv)
+
+    boxes = jnp.concatenate(lvl_boxes, axis=1)
+    scores = jnp.concatenate(lvl_scores, axis=1)
+    valid = jnp.concatenate(lvl_valid, axis=1)
+    masked = jnp.where(valid, scores, -jnp.inf)
+    top, idx = jax.lax.top_k(masked, cfg.max_num)
+    out_valid = jnp.isfinite(top)
+    return Proposals(
+        boxes=jnp.take_along_axis(boxes, idx[..., None], axis=1),
+        scores=jnp.where(out_valid, top, 0.0),
+        valid=out_valid,
+    )
+
+
 def rpn_proposals_single(
     level_outs: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],  # per level (H,W,A), (H,W,A*4)
     anchors: Sequence[jnp.ndarray],  # per level (H*W*A, 4)
