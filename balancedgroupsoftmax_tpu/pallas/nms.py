@@ -27,11 +27,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _nms_block_kernel(iou_thr, x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_ref):
-    x1 = x1_ref[...]  # (BLK, K)
-    y1 = y1_ref[...]
-    x2 = x2_ref[...]
-    y2 = y2_ref[...]
-    vf = valid_ref[...].astype(jnp.float32)  # 32-bit before any dim insert
+    # refs are (BLK, 1, K): the unit middle dim keeps the row-block size out
+    # of the tiled (last two) dims so any BLK is legal
+    x1 = x1_ref[:, 0, :]  # (BLK, K)
+    y1 = y1_ref[:, 0, :]
+    x2 = x2_ref[:, 0, :]
+    y2 = y2_ref[:, 0, :]
+    vf = valid_ref[:, 0, :].astype(jnp.float32)  # 32-bit before dim inserts
     blk, k = vf.shape
 
     area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
@@ -66,7 +68,7 @@ def _nms_block_kernel(iou_thr, x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_r
         return new_keep, jnp.any(new_keep != keep)
 
     keep, _ = jax.lax.while_loop(cond, body, (vf, jnp.asarray(True)))
-    keep_ref[...] = keep.astype(jnp.int32)
+    keep_ref[:, 0, :] = keep.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("iou_thr", "block", "interpret"))
@@ -79,24 +81,28 @@ def nms_keep_batched(
 ) -> jnp.ndarray:
     g, k = valid.shape
     kp = -(-k // 128) * 128  # lane-align K
+    # fit the (block, K, K) iou+adj workspace in scoped VMEM (~8MB budget)
+    block = max(1, min(block, int(8e6 // (kp * kp * 8))))
     gp = -(-g // block) * block
     coords = []
     for i in range(4):
         coords.append(
-            jnp.zeros((gp, kp), jnp.float32).at[:g, :k].set(
+            jnp.zeros((gp, 1, kp), jnp.float32).at[:g, 0, :k].set(
                 boxes[..., i].astype(jnp.float32)
             )
         )
-    valid_p = jnp.zeros((gp, kp), jnp.int32).at[:g, :k].set(valid.astype(jnp.int32))
+    valid_p = jnp.zeros((gp, 1, kp), jnp.int32).at[:g, 0, :k].set(
+        valid.astype(jnp.int32)
+    )
 
     kernel = functools.partial(_nms_block_kernel, iou_thr)
-    spec2d = pl.BlockSpec((block, kp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((block, 1, kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     keep = pl.pallas_call(
         kernel,
         grid=(gp // block,),
-        in_specs=[spec2d] * 5,
-        out_specs=spec2d,
-        out_shape=jax.ShapeDtypeStruct((gp, kp), jnp.int32),
+        in_specs=[spec] * 5,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((gp, 1, kp), jnp.int32),
         interpret=interpret,
     )(*coords, valid_p)
-    return keep[:g, :k] > 0
+    return keep[:g, 0, :k] > 0
