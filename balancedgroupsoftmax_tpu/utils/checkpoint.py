@@ -163,18 +163,75 @@ def _fc_from_torch(w: np.ndarray, roi: int = None, channels: int = None) -> np.n
     return w.T
 
 
+def _convert_bbox_head(sd: Dict[str, Any], prefix: str, roi_size: int, roi_channels: int):
+    head: Dict[str, Any] = {}
+    j = 0
+    while f"{prefix}.shared_fcs.{j}.weight" in sd:
+        head[f"shared_fc{j}"] = dict(
+            kernel=_fc_from_torch(
+                sd[f"{prefix}.shared_fcs.{j}.weight"],
+                roi=roi_size if j == 0 else None,
+                channels=roi_channels,
+            ),
+            bias=sd[f"{prefix}.shared_fcs.{j}.bias"],
+        )
+        j += 1
+    for name in ("fc_cls", "fc_reg"):
+        head[name] = dict(
+            kernel=_fc_from_torch(sd[f"{prefix}.{name}.weight"]),
+            bias=sd[f"{prefix}.{name}.bias"],
+        )
+    return head
+
+
+def _convert_mask_head(sd: Dict[str, Any], prefix: str):
+    """FCNMaskHead: convs.{i}.conv -> conv{i}, upsample (ConvTranspose),
+    conv_logits; conv_res for HTC info flow."""
+    head: Dict[str, Any] = {}
+    i = 0
+    while f"{prefix}.convs.{i}.conv.weight" in sd:
+        head[f"conv{i}"] = dict(
+            kernel=_conv(sd[f"{prefix}.convs.{i}.conv.weight"]),
+            bias=sd[f"{prefix}.convs.{i}.conv.bias"],
+        )
+        i += 1
+    if f"{prefix}.upsample.weight" in sd:
+        # torch ConvTranspose2d weight (in, out, kh, kw) -> flax (kh, kw, in,
+        # out) with a spatial flip: torch computes the gradient-of-conv
+        # (implicit kernel flip), flax.ConvTranspose does not (verified
+        # numerically against F.conv_transpose2d).
+        w = np.asarray(sd[f"{prefix}.upsample.weight"])
+        head["upsample"] = dict(
+            kernel=np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1)).copy(),
+            bias=sd[f"{prefix}.upsample.bias"],
+        )
+    if f"{prefix}.conv_logits.weight" in sd:
+        head["conv_logits"] = dict(
+            kernel=_conv(sd[f"{prefix}.conv_logits.weight"]),
+            bias=sd[f"{prefix}.conv_logits.bias"],
+        )
+    if f"{prefix}.conv_res.conv.weight" in sd:
+        head["conv_res"] = dict(
+            kernel=_conv(sd[f"{prefix}.conv_res.conv.weight"]),
+            bias=sd[f"{prefix}.conv_res.conv.bias"],
+        )
+    return head
+
+
 def convert_mmdet_faster_rcnn(
     state_dict: Dict[str, Any],
     depth: int = 50,
     roi_size: int = 7,
     roi_channels: int = 256,
 ):
-    """mmdet v1 Faster R-CNN (or GS) checkpoint -> our (params, batch_stats).
+    """mmdet v1 two-stage checkpoint -> our (params, batch_stats).
 
-    Name map: backbone.* -> backbone/*, neck.lateral_convs.{i}.conv ->
-    neck/lateral{i}, neck.fpn_convs.{i}.conv -> neck/fpn{i}, rpn_head.* ->
-    rpn_head/*, bbox_head.shared_fcs.{i} -> bbox_head/shared_fc{i},
-    bbox_head.fc_cls/fc_reg -> bbox_head/fc_cls|fc_reg.
+    Handles Faster/Mask R-CNN and GS variants, cascade stages
+    (bbox_head.{i} -> bbox_head_{i}, mask_head.{i} -> mask_head_{i}) and
+    the HTC semantic head. Name map: backbone.* -> backbone/*,
+    neck.lateral_convs.{i}.conv -> neck/lateral{i}, neck.fpn_convs.{i}.conv
+    -> neck/fpn{i}, rpn_head.* -> rpn_head/*, bbox_head.shared_fcs.{i} ->
+    bbox_head/shared_fc{i}, bbox_head.fc_cls/fc_reg -> bbox_head/fc_cls|reg.
     """
     sd = {k: np.asarray(v) for k, v in state_dict.items() if "num_batches" not in k}
     bb = {k[len("backbone.") :]: v for k, v in sd.items() if k.startswith("backbone.")}
@@ -202,25 +259,50 @@ def convert_mmdet_faster_rcnn(
         rpn_reg=dict(kernel=_conv(sd["rpn_head.rpn_reg.weight"]), bias=sd["rpn_head.rpn_reg.bias"]),
     )
 
-    head: Dict[str, Any] = {}
-    j = 0
-    while f"bbox_head.shared_fcs.{j}.weight" in sd:
-        head[f"shared_fc{j}"] = dict(
-            kernel=_fc_from_torch(
-                sd[f"bbox_head.shared_fcs.{j}.weight"],
-                roi=roi_size if j == 0 else None,
-                channels=roi_channels,
-            ),
-            bias=sd[f"bbox_head.shared_fcs.{j}.bias"],
+    # bbox head(s): plain (bbox_head.*) or cascade stages (bbox_head.{i}.*)
+    if "bbox_head.fc_cls.weight" in sd:
+        params["bbox_head"] = _convert_bbox_head(sd, "bbox_head", roi_size, roi_channels)
+    else:
+        i = 0
+        while f"bbox_head.{i}.fc_cls.weight" in sd:
+            params[f"bbox_head_{i}"] = _convert_bbox_head(
+                sd, f"bbox_head.{i}", roi_size, roi_channels
+            )
+            i += 1
+
+    # mask head(s)
+    if "mask_head.conv_logits.weight" in sd:
+        params["mask_head"] = _convert_mask_head(sd, "mask_head")
+    else:
+        i = 0
+        while f"mask_head.{i}.conv_logits.weight" in sd:
+            params[f"mask_head_{i}"] = _convert_mask_head(sd, f"mask_head.{i}")
+            i += 1
+
+    # HTC semantic head
+    if "semantic_head.conv_logits.weight" in sd:
+        sem: Dict[str, Any] = {}
+        i = 0
+        while f"semantic_head.lateral_convs.{i}.conv.weight" in sd:
+            sem[f"lateral{i}"] = dict(
+                kernel=_conv(sd[f"semantic_head.lateral_convs.{i}.conv.weight"]),
+                bias=sd[f"semantic_head.lateral_convs.{i}.conv.bias"],
+            )
+            i += 1
+        i = 0
+        while f"semantic_head.convs.{i}.conv.weight" in sd:
+            sem[f"conv{i}"] = dict(
+                kernel=_conv(sd[f"semantic_head.convs.{i}.conv.weight"]),
+                bias=sd[f"semantic_head.convs.{i}.conv.bias"],
+            )
+            i += 1
+        sem["conv_embedding"] = dict(
+            kernel=_conv(sd["semantic_head.conv_embedding.conv.weight"]),
+            bias=sd["semantic_head.conv_embedding.conv.bias"],
         )
-        j += 1
-    head["fc_cls"] = dict(
-        kernel=_fc_from_torch(sd["bbox_head.fc_cls.weight"]),
-        bias=sd["bbox_head.fc_cls.bias"],
-    )
-    head["fc_reg"] = dict(
-        kernel=_fc_from_torch(sd["bbox_head.fc_reg.weight"]),
-        bias=sd["bbox_head.fc_reg.bias"],
-    )
-    params["bbox_head"] = head
+        sem["conv_logits"] = dict(
+            kernel=_conv(sd["semantic_head.conv_logits.weight"]),
+            bias=sd["semantic_head.conv_logits.bias"],
+        )
+        params["semantic_head"] = sem
     return params, stats
