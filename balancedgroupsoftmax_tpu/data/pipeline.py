@@ -158,6 +158,39 @@ def expand_indices_by_repeat(
     return np.repeat(np.arange(len(repeat)), counts)
 
 
+def sample_out_head_images(
+    repeat: np.ndarray,
+    labels_per_image: Sequence[np.ndarray],
+    head_image_budget: int,
+    epoch_seed: int,
+) -> np.ndarray:
+    """RFS with head-image subsampling.
+
+    Parity: DistributedGroupSampler_addrepeat_sampleout
+    (loader/sampler.py:459-633) — on top of repeat-factor expansion, images
+    containing only head (repeat factor == 1) classes are subsampled to a
+    fixed budget (the reference uses 6000 of ~17000). Returns the epoch's
+    index list."""
+    rng = np.random.RandomState(epoch_seed)
+    is_head_only = np.array(
+        [
+            len(labels) > 0 and repeat[i] <= 1.0
+            for i, labels in enumerate(labels_per_image)
+        ]
+    )
+    head_idx = np.where(is_head_only)[0]
+    keep_head = (
+        rng.choice(head_idx, min(head_image_budget, len(head_idx)), replace=False)
+        if len(head_idx)
+        else head_idx
+    )
+    keep = np.zeros(len(repeat), bool)
+    keep[keep_head] = True
+    keep[~is_head_only] = True
+    expanded = expand_indices_by_repeat(repeat, epoch_seed)
+    return expanded[keep[expanded]]
+
+
 class DetBatcher:
     """Deterministic epoch-seeded shuffling + aspect-bucket batching.
 

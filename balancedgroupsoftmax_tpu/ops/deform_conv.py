@@ -89,6 +89,51 @@ def deform_conv2d(
     return out.reshape(h_out, w_out, c_out).astype(x.dtype)
 
 
+def deform_roi_pool(
+    feat: jnp.ndarray,  # (H, W, C)
+    rois: jnp.ndarray,  # (R, 4) xyxy image coords
+    offsets: jnp.ndarray,  # (R, out, out, 2) normalized (dy, dx) per bin
+    spatial_scale: float,
+    out_size: int = 7,
+    sample_num: int = 2,
+    gamma: float = 0.1,
+) -> jnp.ndarray:
+    """Deformable RoI pooling (mmdet/ops/dcn/deform_pool.py parity).
+
+    Each output bin's sample window shifts by `gamma * roi_size * offset`
+    (deform_pool_cuda_kernel.cu); offsets come from a small head over the
+    plainly-pooled features (DeformRoIPoolingPack). With zero offsets this
+    equals RoIAlign.
+    """
+    rois = rois.astype(jnp.float32)
+    start_w = rois[:, 0] * spatial_scale
+    start_h = rois[:, 1] * spatial_scale
+    end_w = (rois[:, 2] + 1.0) * spatial_scale
+    end_h = (rois[:, 3] + 1.0) * spatial_scale
+    roi_w = jnp.maximum(end_w - start_w, 0.0)
+    roi_h = jnp.maximum(end_h - start_h, 0.0)
+    bin_w = roi_w / out_size
+    bin_h = roi_h / out_size
+
+    s = sample_num
+    grid = jnp.arange(out_size, dtype=jnp.float32)
+    sub = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    pos = (grid[:, None] + sub[None, :]).reshape(-1)  # (out*s,)
+    ys = start_h[:, None] + bin_h[:, None] * pos[None, :]  # (R, out*s)
+    xs = start_w[:, None] + bin_w[:, None] * pos[None, :]
+    # per-bin offsets scaled by roi extent (broadcast to the bin's samples)
+    dy = jnp.repeat(jnp.repeat(offsets[..., 0], s, axis=1), s, axis=2)
+    dx = jnp.repeat(jnp.repeat(offsets[..., 1], s, axis=1), s, axis=2)
+    yy = ys[:, :, None] + gamma * roi_h[:, None, None] * dy
+    xx = xs[:, None, :] + gamma * roi_w[:, None, None] * dx
+    yy, xx = jnp.broadcast_arrays(yy, xx)
+    vals = jax.vmap(lambda y_, x_: _bilinear_hw(feat, y_, x_))(yy, xx)
+    r = rois.shape[0]
+    c = feat.shape[-1]
+    vals = vals.reshape(r, out_size, s, out_size, s, c)
+    return vals.mean(axis=(2, 4))
+
+
 class DeformConv(nn.Module):
     """DCN v1/v2 layer: offset (+mask) conv then deformable conv.
 
