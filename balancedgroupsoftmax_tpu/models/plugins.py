@@ -54,6 +54,55 @@ class ContextBlock(nn.Module):
         return out
 
 
+class GeneralizedAttention(nn.Module):
+    """Generalized attention block (mmdet/models/plugins/
+    generalized_attention.py, '1111' configuration: content-content +
+    content-position terms). Backbone plug-in for the empirical attention
+    configs."""
+
+    num_heads: int = 8
+    kv_stride: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        heads = self.num_heads
+        dk = max(c // heads, 1)
+        q = nn.Conv(heads * dk, (1, 1), dtype=self.dtype, name="query")(x)
+        kv = x[:, :: self.kv_stride, :: self.kv_stride, :]
+        hk, wk = kv.shape[1], kv.shape[2]
+        k = nn.Conv(heads * dk, (1, 1), dtype=self.dtype, name="key")(kv)
+        v = nn.Conv(heads * dk, (1, 1), dtype=self.dtype, name="value")(kv)
+
+        # relative-position embeddings (content-position term)
+        pos_h = self.param("pos_h", nn.initializers.normal(0.01), (2 * h, heads, dk))
+        pos_w = self.param("pos_w", nn.initializers.normal(0.01), (2 * w, heads, dk))
+        yy = jnp.arange(h)[:, None] - jnp.arange(0, h, self.kv_stride)[None, :] + h
+        xx = jnp.arange(w)[:, None] - jnp.arange(0, w, self.kv_stride)[None, :] + w
+
+        q_ = q.reshape(b, h * w, heads, dk)
+        k_ = k.reshape(b, hk * wk, heads, dk)
+        v_ = v.reshape(b, hk * wk, heads, dk)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q_, k_) / jnp.sqrt(float(dk))
+        # content-position: q . pos_emb of relative offset (separable h/w)
+        qh = q.reshape(b, h, w, heads, dk)
+        eh = pos_h[yy]  # (h, hk, heads, dk)
+        ew = pos_w[xx]  # (w, wk, heads, dk)
+        bias_h = jnp.einsum("byxhd,yYhd->bhyxY", qh, eh)  # (b,heads,h,w,hk)
+        bias_w = jnp.einsum("byxhd,xXhd->bhyxX", qh, ew)  # (b,heads,h,w,wk)
+        bias = (
+            bias_h[..., :, None] + bias_w[..., None, :]
+        ).reshape(b, heads, h * w, hk * wk) / jnp.sqrt(float(dk))
+        attn = jax.nn.softmax(logits + bias, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v_).reshape(b, h, w, heads * dk)
+        out = nn.Conv(
+            c, (1, 1), kernel_init=nn.initializers.zeros, dtype=self.dtype,
+            name="proj",
+        )(out)
+        return x + out
+
+
 class NonLocal2D(nn.Module):
     """Non-local block, embedded-gaussian mode."""
 
