@@ -59,7 +59,11 @@ def batched_nms_topk(
     Returns (boxes (G, max_out, 4), scores (G, max_out), valid (G, max_out)).
     """
     g, k = valid.shape
-    if pallas_enabled():
+    kp = -(-k // 128) * 128
+    # the Pallas kernel keeps a (K, K) iou+adj pair in VMEM: only feasible
+    # up to K ~1280 (2 * K^2 * 4B <= ~14MB); larger rows (train-time RPN
+    # nms_pre=2000) use the XLA fixpoint
+    if pallas_enabled() and kp * kp * 8 <= 14e6:
         from .pallas.nms import nms_keep_batched
 
         keep = nms_keep_batched(boxes, valid, iou_thr)
