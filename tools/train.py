@@ -203,17 +203,39 @@ def main():
     t_log = time.time()
     log_path = os.path.join(args.work_dir, "train_log.jsonl")
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=4)
+
+    def make_batch(batch_idx, epoch):
+        # per-sample deterministic rngs: thread-safe and epoch-varying
+        samples = pool.map(
+            lambda i: load_sample(
+                i, np.random.RandomState((args.seed * 1000003 + epoch * 131 + int(i)) % (2**31))
+            ),
+            batch_idx,
+        )
+        samples = list(samples)
+        batch = collate(samples)
+        if with_masks:
+            batch["gt_mask_crops"] = np.stack(
+                [s["gt_mask_crops"] for s in samples]
+            )
+        batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if k != "scale_factors"}
+        return shard_batch(batch, mesh)
+
     for epoch in range(start_epoch, train_cfg.total_epochs):
-        for batch_idx in batcher.epoch_batches(epoch):
-            samples = [load_sample(i, rng) for i in batch_idx]
-            batch = collate(samples)
-            if with_masks:
-                batch["gt_mask_crops"] = np.stack(
-                    [s["gt_mask_crops"] for s in samples]
-                )
-            batch = {k: jnp.asarray(v) for k, v in batch.items()
-                     if k != "scale_factors"}
-            batch = shard_batch(batch, mesh)
+        batches = batcher.epoch_batches(epoch)
+        # one-batch lookahead: prepare batch t+1 while the device runs t
+        pending = pool.submit(make_batch, batches[0], epoch) if batches else None
+        for bi in range(len(batches)):
+            batch = pending.result()
+            pending = (
+                pool.submit(make_batch, batches[bi + 1], epoch)
+                if bi + 1 < len(batches)
+                else None
+            )
             state, metrics = step_fn(state, batch, key)
             global_step += 1
             if global_step % args.log_interval == 0:
