@@ -100,6 +100,43 @@ def test_gs_partition_cli(mini_lvis, tmp_path):
 
 
 @pytest.mark.slow
+def test_two_phase_bags_workflow(mini_lvis, tmp_path):
+    """Phase 1 baseline -> phase 2 GS fine-tune with non-strict warm start
+    (the reference's load_from + selectp=1 recipe, bg8.py:193,198)."""
+    part = str(tmp_path / "part.npz")
+    run_cli(
+        ["tools/gs_partition.py", "--ann", mini_lvis["ann"], "--out", part,
+         "--num-classes", "9"]
+    )
+    base = str(tmp_path / "base")
+    run_cli(
+        [
+            "tools/train.py", "--model", "faster_rcnn_r50",
+            "--ann", mini_lvis["ann"], "--img-prefix", mini_lvis["img_prefix"],
+            "--work-dir", base, "--batch-size", "2", "--epochs", "1",
+            "--max-steps", "1", "--log-interval", "1",
+        ],
+        timeout=2400,
+    )
+    bags = str(tmp_path / "bags")
+    stdout = run_cli(
+        [
+            "tools/train.py", "--model", "gs_faster_rcnn_r50",
+            "--ann", mini_lvis["ann"], "--img-prefix", mini_lvis["img_prefix"],
+            "--partition", part, "--work-dir", bags,
+            "--load-from", os.path.join(base, "ckpt_epoch_1"),
+            "--selectp", "1", "--batch-size", "2", "--epochs", "1",
+            "--max-steps", "1", "--log-interval", "1",
+        ],
+        timeout=2400,
+    )
+    # warm start must copy the shared trunk and leave the widened fc_cls fresh
+    assert "warm start" in stdout
+    assert "fresh" in stdout
+    assert "loss_cls_bin0" in stdout
+
+
+@pytest.mark.slow
 def test_train_and_eval_cli(mini_lvis, tmp_path):
     part = str(tmp_path / "part.npz")
     run_cli(
