@@ -24,6 +24,30 @@ from .plugins import NonLocal2D
 from .semantic_head import resize_bilinear_align_corners
 
 
+class ResLayerSharedHead(nn.Module):
+    """ResNet stage-5 as a shared RoI head (shared_heads/res_layer.py).
+
+    Used by C4-style detectors: RoI features (S, S, 1024) run through the
+    three stage-4 bottlenecks (stride 1 here — RoI features are already
+    pooled) and global-average-pool for the classifier."""
+
+    num_blocks: int = 3
+    planes: int = 512  # -> 2048 output channels
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feats: jnp.ndarray) -> jnp.ndarray:
+        from .resnet import Bottleneck
+
+        x = roi_feats
+        for b in range(self.num_blocks):
+            x = Bottleneck(
+                planes=self.planes, stride=2 if b == 0 else 1, dtype=self.dtype,
+                name=f"layer4_block{b}",
+            )(x)
+        return x
+
+
 class DoubleConvFCBBoxHead(nn.Module):
     num_classes: int
     num_convs: int = 4

@@ -49,3 +49,13 @@ def test_bfp_preserves_shapes():
         assert o.shape == f.shape
         # residual structure: output differs from input
         assert float(jnp.abs(o - f).max()) > 0
+
+
+def test_res_layer_shared_head():
+    from balancedgroupsoftmax_tpu.models.extra_heads import ResLayerSharedHead
+
+    m = ResLayerSharedHead()
+    x = jnp.zeros((2, 14, 14, 1024))
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == (2, 7, 7, 2048)
