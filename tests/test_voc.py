@@ -1,0 +1,41 @@
+import os
+
+import numpy as np
+
+from balancedgroupsoftmax_tpu.data.voc import VOCDataset
+
+
+def make_voc(tmp_path):
+    root = tmp_path / "VOC2007"
+    (root / "ImageSets" / "Main").mkdir(parents=True)
+    (root / "Annotations").mkdir()
+    (root / "JPEGImages").mkdir()
+    (root / "ImageSets" / "Main" / "trainval.txt").write_text("000001\n000002\n")
+    xml = """<annotation>
+  <size><width>{w}</width><height>{h}</height><depth>3</depth></size>
+  <object><name>dog</name><difficult>0</difficult>
+    <bndbox><xmin>48</xmin><ymin>240</ymin><xmax>195</xmax><ymax>371</ymax></bndbox>
+  </object>
+  <object><name>person</name><difficult>1</difficult>
+    <bndbox><xmin>8</xmin><ymin>12</ymin><xmax>352</xmax><ymax>498</ymax></bndbox>
+  </object>
+</annotation>"""
+    (root / "Annotations" / "000001.xml").write_text(xml.format(w=353, h=500))
+    (root / "Annotations" / "000002.xml").write_text(
+        xml.format(w=500, h=375).replace("dog", "cat")
+    )
+    return str(root)
+
+
+def test_voc_dataset(tmp_path):
+    root = make_voc(tmp_path)
+    ds = VOCDataset(root, split="trainval")
+    assert len(ds) == 2
+    ann = ds.get_ann_info(0)
+    # 1-based -> 0-based conversion
+    np.testing.assert_allclose(ann["bboxes"][0], [47, 239, 194, 370])
+    assert ann["labels"][0] == 12  # dog
+    assert ann["bboxes_ignore"].shape == (1, 4)  # difficult person
+    assert ds.image_path(0).endswith("JPEGImages/000001.jpg")
+    ann2 = VOCDataset(root).get_ann_info(1)
+    assert ann2["labels"][0] == 8  # cat
