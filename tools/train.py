@@ -45,6 +45,8 @@ def parse_args():
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None, help="global batch")
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--lr-steps", type=int, nargs="*", default=None,
+                   help="epochs at which LR decays x0.1 (default 8 11)")
     p.add_argument("--autoscale-lr", action="store_true",
                    help="linear scaling rule lr *= batch/16 (train.py:107)")
     p.add_argument("--use-rfs", action="store_true", help="repeat factor sampling")
@@ -90,6 +92,10 @@ def main():
         train_cfg = dataclasses.replace(train_cfg, selectp=args.selectp)
     if args.epochs is not None:
         train_cfg = dataclasses.replace(train_cfg, total_epochs=args.epochs)
+    if args.lr_steps is not None:
+        train_cfg = dataclasses.replace(
+            train_cfg, lr_step_epochs=tuple(args.lr_steps)
+        )
 
     n_dev = jax.device_count()
     batch_size = args.batch_size or 2 * n_dev  # 2 imgs/device (bg8.py data)
