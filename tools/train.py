@@ -52,6 +52,8 @@ def parse_args():
     p.add_argument("--use-rfs", action="store_true", help="repeat factor sampling")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--save-interval", type=int, default=1,
+                   help="checkpoint every N epochs (checkpoint_config interval)")
     p.add_argument("--max-steps", type=int, default=None, help="debug cap")
     p.add_argument("--val-ann", default=None,
                    help="val annotation json: evaluate after each epoch "
@@ -256,6 +258,11 @@ def main():
                     f.write(json.dumps(line) + "\n")
             if args.max_steps and global_step >= args.max_steps:
                 break
+        if (epoch + 1) % args.save_interval and epoch + 1 != train_cfg.total_epochs:
+            if args.max_steps and global_step >= args.max_steps:
+                pass  # fall through to save the final state below
+            else:
+                continue
         ckpt = os.path.join(args.work_dir, f"ckpt_epoch_{epoch + 1}")
         save_checkpoint(ckpt, jax.device_get(
             dict(params=state.params, batch_stats=state.batch_stats,
