@@ -23,7 +23,7 @@ import numpy as np
 # --------------------------------------------------------------------------
 # orbax save / restore
 # --------------------------------------------------------------------------
-def save_checkpoint(path: str, state: Any) -> None:
+def save_checkpoint(path: str, state: Any, overwrite: bool = True) -> None:
     import jax
     import orbax.checkpoint as ocp
 
@@ -31,7 +31,7 @@ def save_checkpoint(path: str, state: Any) -> None:
     ckptr = ocp.StandardCheckpointer()
     # 0-d python/numpy scalars are not supported by orbax: lift to arrays
     state = jax.tree_util.tree_map(np.asarray, state)
-    ckptr.save(path, state)
+    ckptr.save(path, state, force=overwrite)
     ckptr.wait_until_finished()
 
 

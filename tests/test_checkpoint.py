@@ -112,3 +112,34 @@ def test_orbax_roundtrip(tmp_path):
     restored = restore_checkpoint(path, state)
     np.testing.assert_allclose(restored["w"], state["w"])
     assert int(restored["step"]) == 7
+
+
+def test_orbax_overwrite(tmp_path):
+    path = str(tmp_path / "auto")
+    save_checkpoint(path, {"w": np.zeros(3)})
+    save_checkpoint(path, {"w": np.ones(3)})  # autosave-style overwrite
+    restored = restore_checkpoint(path, {"w": np.zeros(3)})
+    np.testing.assert_allclose(restored["w"], 1.0)
+
+
+def test_tau_norm_row_scaling():
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.test_lvis import tau_norm
+
+    rng = np.random.RandomState(0)
+    w = rng.randn(16, 5).astype(np.float32)
+    params = {"bbox_head": {"fc_cls": {"kernel": w, "bias": np.zeros(5)}}}
+    out = tau_norm(params, tau=1.0)["bbox_head"]["fc_cls"]["kernel"]
+    # tau=1: every column normalized to unit norm
+    np.testing.assert_allclose(np.linalg.norm(out, axis=0), 1.0, rtol=1e-5)
+    out05 = tau_norm(params, tau=0.5)["bbox_head"]["fc_cls"]["kernel"]
+    norms = np.linalg.norm(w, axis=0)
+    np.testing.assert_allclose(
+        np.linalg.norm(out05, axis=0), norms**0.5, rtol=1e-5
+    )
+    # tau=0: unchanged
+    np.testing.assert_allclose(
+        tau_norm(params, 0.0)["bbox_head"]["fc_cls"]["kernel"], w
+    )

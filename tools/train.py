@@ -54,6 +54,9 @@ def parse_args():
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--save-interval", type=int, default=1,
                    help="checkpoint every N epochs (checkpoint_config interval)")
+    p.add_argument("--autosave-steps", type=int, default=0,
+                   help="also checkpoint every N steps to <work_dir>/autosave "
+                        "(preemption recovery; resume with --resume-from)")
     p.add_argument("--max-steps", type=int, default=None, help="debug cap")
     p.add_argument("--val-ann", default=None,
                    help="val annotation json: evaluate after each epoch "
@@ -246,6 +249,14 @@ def main():
             )
             state, metrics = step_fn(state, batch, key)
             global_step += 1
+            if args.autosave_steps and global_step % args.autosave_steps == 0:
+                save_checkpoint(
+                    os.path.join(args.work_dir, "autosave"),
+                    jax.device_get(
+                        dict(params=state.params, batch_stats=state.batch_stats,
+                             step=np.asarray(int(state.step)))
+                    ),
+                )
             if global_step % args.log_interval == 0:
                 m = {k: float(jax.device_get(v)) for k, v in metrics.items()}
                 dt = (time.time() - t_log) / args.log_interval
