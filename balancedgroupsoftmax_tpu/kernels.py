@@ -92,10 +92,18 @@ def batched_multiclass_nms(
     iou_thr: float,
     max_per_img: int,
     candidates_per_class: int = 300,
+    nms_type: str = "nms",
+    soft_sigma: float = 0.5,
+    soft_min_score: float = 1e-3,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched per-class NMS + global top-k (ops/nms.multiclass_nms
     semantics over a leading batch dim). The per-class keep computation is
-    flattened to (B*num_fg, K) so the Pallas kernel sees one large grid."""
+    flattened to (B*num_fg, K) so the Pallas kernel sees one large grid.
+
+    nms_type='soft_nms' runs linear soft-NMS per class instead
+    (the rcnn test option noted in the reference config,
+    configs/bags/gs_faster...bg8.py:118-119) — scores decay rather than
+    hard-suppress; the decayed scores feed the global top-k."""
     b, n, c = scores.shape
     num_fg = c - 1
     k = min(candidates_per_class, n)
@@ -113,7 +121,22 @@ def batched_multiclass_nms(
         ).reshape(b, num_fg, k, 4)
     cand_valid = jnp.isfinite(top_scores)
 
-    if pallas_enabled():
+    if nms_type == "soft_nms":
+        from .ops.nms import soft_nms
+
+        flat = lambda x: x.reshape(b * num_fg, *x.shape[2:])
+        sb, ss, sv = jax.vmap(
+            lambda bb, sc, vv: soft_nms(
+                bb, sc, vv, iou_thr=iou_thr, method="linear",
+                sigma=soft_sigma, min_score=soft_min_score, max_out=k,
+            )
+        )(flat(cand_boxes), flat(jnp.where(cand_valid, top_scores, 0.0)),
+          flat(cand_valid))
+        cand_boxes = sb.reshape(b, num_fg, k, 4)
+        top_scores = ss.reshape(b, num_fg, k)
+        keep = sv.reshape(b, num_fg, k)
+        cand_valid = keep
+    elif pallas_enabled():
         from .pallas.nms import nms_keep_batched
 
         keep = nms_keep_batched(

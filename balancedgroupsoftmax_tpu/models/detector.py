@@ -336,6 +336,7 @@ class FasterRCNN(nn.Module):
             c.rcnn_test.nms_iou_thr,
             c.rcnn_test.max_per_img,
             candidates_per_class=c.rcnn_test.nms_candidates_per_class,
+            nms_type=c.rcnn_test.nms_type,
         )
         return Detections(boxes=db, scores=ds, labels=dl, valid=dv)
 

@@ -173,3 +173,26 @@ def test_multiclass_nms_class_specific_boxes():
         lbl = int(np.asarray(dl)[k]) + 1
         col = boxes.reshape(n, c, 4)[:, lbl]
         assert (np.abs(col - np.asarray(db)[k]).sum(-1) < 1e-4).any()
+
+
+def test_batched_multiclass_soft_nms():
+    from balancedgroupsoftmax_tpu.kernels import batched_multiclass_nms
+
+    rng = np.random.RandomState(5)
+    n, c = 60, 5
+    boxes = random_boxes(rng, n)[None]
+    scores = rng.dirichlet(np.ones(c), n).astype(np.float32)[None]
+    valid = np.ones((1, n), bool)
+    hb, hs, hl, hv = batched_multiclass_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+        0.05, 0.5, 20, nms_type="nms",
+    )
+    sb, ss, sl, sv = batched_multiclass_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+        0.05, 0.5, 20, nms_type="soft_nms",
+    )
+    assert np.isfinite(np.asarray(sb)).all()
+    # soft-NMS keeps at least as many candidates (decay, not suppression)
+    assert int(np.asarray(sv).sum()) >= int(np.asarray(hv).sum())
+    # top-scoring detection identical under both (never decayed)
+    np.testing.assert_allclose(np.asarray(ss[0, 0]), np.asarray(hs[0, 0]), rtol=1e-5)
