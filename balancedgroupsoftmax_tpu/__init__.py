@@ -13,3 +13,21 @@ step with psum over a `jax.sharding.Mesh`, and Pallas kernels for the hot ops
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache (big win on the remote-TPU
+    tunnel and for repeated CLI runs)."""
+    import os
+
+    import jax
+
+    path = path or os.environ.get(
+        "BAGS_COMPILE_CACHE", os.path.expanduser("~/.cache/bags_jax")
+    )
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

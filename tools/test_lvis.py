@@ -65,6 +65,9 @@ def tau_norm(params, tau: float):
 
 def main():
     args = parse_args()
+    from balancedgroupsoftmax_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from balancedgroupsoftmax_tpu import zoo
     from balancedgroupsoftmax_tpu.data.lvis import LvisDataset

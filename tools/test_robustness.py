@@ -41,6 +41,9 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from balancedgroupsoftmax_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import dataclasses
     import cv2

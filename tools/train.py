@@ -68,6 +68,9 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from balancedgroupsoftmax_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
     os.makedirs(args.work_dir, exist_ok=True)
 
     from balancedgroupsoftmax_tpu import zoo
@@ -159,9 +162,16 @@ def main():
     state = create_train_state(variables, tx)
     start_epoch = 0
     if args.resume_from:
-        state = restore_checkpoint(args.resume_from, state)
-        start_epoch = int(state.step) // steps_per_epoch
-        print(f"resumed from {args.resume_from} at step {int(state.step)}")
+        # checkpoints hold {params, batch_stats, step}; optimizer momentum
+        # restarts (the LR schedule continues from the restored step)
+        loaded = restore_checkpoint(args.resume_from)
+        state = state.replace(
+            params=loaded["params"],
+            batch_stats=loaded.get("batch_stats", state.batch_stats),
+            step=jnp.asarray(int(loaded["step"]), jnp.int32),
+        )
+        start_epoch = int(loaded["step"]) // steps_per_epoch
+        print(f"resumed from {args.resume_from} at step {int(loaded['step'])}")
 
     # mesh size = largest divisor of the global batch that fits the devices
     n_mesh = jax.device_count()
