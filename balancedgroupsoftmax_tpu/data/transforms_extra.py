@@ -145,3 +145,56 @@ def random_crop(
         keep = (nb[:, 2] > nb[:, 0]) & (nb[:, 3] > nb[:, 1])
         return crop, nb[keep], labels[keep]
     return crop, boxes, labels
+
+
+def albu_wrapper(transform, min_visible: float = 0.0):
+    """Adapt an albumentations-style transform to this pipeline's
+    ``(img, boxes, labels, rng) -> (img, boxes, labels)`` convention.
+
+    Parity: /root/reference/mmdet/datasets/pipelines/transforms.py `Albu`
+    (:approx 622-750) — the reference wraps the third-party albumentations
+    library, converting boxes to/from its `pascal_voc` (xyxy) format and
+    dropping boxes the transform removes. `transform` is anything callable
+    as ``transform(image=..., bboxes=..., labels=...)`` returning a dict
+    with the same keys (an ``albumentations.Compose(...,
+    bbox_params=BboxParams('pascal_voc', label_fields=['labels']))``, or
+    any user object with that interface — no hard dependency).
+    """
+
+    def apply(img, boxes, labels, rng=None):
+        res = transform(
+            image=img,
+            bboxes=[tuple(map(float, b)) for b in boxes],
+            labels=list(map(int, labels)),
+        )
+        nb = np.asarray(res["bboxes"], np.float32).reshape(-1, 4)
+        nl = np.asarray(res["labels"], np.int32)
+        if min_visible > 0 and len(nb):
+            h, w = res["image"].shape[:2]
+            vis = (
+                (nb[:, 2].clip(0, w) - nb[:, 0].clip(0, w))
+                * (nb[:, 3].clip(0, h) - nb[:, 1].clip(0, h))
+            ) / ((nb[:, 2] - nb[:, 0]) * (nb[:, 3] - nb[:, 1])).clip(min=1e-6)
+            nb, nl = nb[vis >= min_visible], nl[vis >= min_visible]
+        return res["image"], nb, nl
+
+    return apply
+
+
+def build_albu(transforms_cfg: list, min_visible: float = 0.0):
+    """Build an albumentations Compose from a list of ``{"type": name,
+    **kwargs}`` dicts (the reference Albu config schema) and wrap it.
+    Raises a clear ImportError when the optional library is absent."""
+    try:
+        import albumentations as A
+    except ImportError as e:  # pragma: no cover - env without the lib
+        raise ImportError(
+            "build_albu requires the optional 'albumentations' package; "
+            "pass any compatible callable to albu_wrapper() instead"
+        ) from e
+    ts = [getattr(A, c["type"])(**{k: v for k, v in c.items() if k != "type"})
+          for c in transforms_cfg]
+    comp = A.Compose(
+        ts, bbox_params=A.BboxParams(format="pascal_voc", label_fields=["labels"])
+    )
+    return albu_wrapper(comp, min_visible)

@@ -115,7 +115,9 @@ def _gather_matrix(partition: GSPartition):
     c = partition.num_classes
     m = np.zeros((l, c), np.float32)
     m[partition.label2logit, np.arange(c)] = 1.0
-    return jnp.asarray(m)
+    # return the HOST array: a jnp constant created inside one jit trace
+    # would leak that trace's tracer into every later trace via the cache
+    return m
 
 
 def gs_merge_scores(

@@ -171,3 +171,43 @@ def test_train_and_eval_cli(mini_lvis, tmp_path):
     )
     assert "AP" in stdout or "| (AP)" in stdout
     assert os.path.exists(tmp_path / "res.json")
+
+
+def test_dataset_surgery_merge_coco(mini_lvis, tmp_path):
+    coco = dict(
+        images=[
+            dict(id=900, file_name="COCO_val2014_000000000000.jpg",
+                 width=160, height=120),
+            dict(id=901, file_name="coco_only.jpg", width=100, height=100),
+        ],
+        annotations=[
+            dict(id=1, image_id=900, category_id=7, bbox=[1, 1, 20, 20],
+                 area=400, iscrowd=0),
+            dict(id=2, image_id=901, category_id=7, bbox=[5, 5, 30, 30],
+                 area=900, iscrowd=0),
+            dict(id=3, image_id=901, category_id=8, bbox=[2, 2, 10, 10],
+                 area=100, iscrowd=0),
+        ],
+        categories=[dict(id=7, name="CLS2"), dict(id=8, name="zebra")],
+    )
+    coco_file = tmp_path / "coco.json"
+    coco_file.write_text(json.dumps(coco))
+    out = tmp_path / "merged.json"
+    log = run_cli([
+        "tools/dataset_surgery.py", "merge-coco", "--ann", mini_lvis["ann"],
+        "--coco-ann", str(coco_file), "--out", str(out),
+    ])
+    assert "matched 1/2" in log and "zebra" in log and "1 shared images" in log
+    merged = json.loads(out.read_text())
+    # 6 lvis images + 1 new coco image; 18 lvis anns + 2 matched coco anns
+    assert len(merged["images"]) == 7
+    assert len(merged["annotations"]) == 20
+    # category ids untouched; CLS2 matched case-insensitively onto cls2 (id 2)
+    assert {c["id"] for c in merged["categories"]} == set(range(1, 9))
+    new_anns = [a for a in merged["annotations"] if a["id"] > 18]
+    assert all(a["category_id"] == 2 for a in new_anns)
+    # counts recomputed on merge
+    c2 = next(c for c in merged["categories"] if c["id"] == 2)
+    base = json.loads(open(mini_lvis["ann"]).read())
+    base_c2 = sum(a["category_id"] == 2 for a in base["annotations"])
+    assert c2["instance_count"] == base_c2 + 2

@@ -49,3 +49,56 @@ def test_random_crop():
     crop, nb, nl = random_crop(img, boxes, labels, rng, (30, 30))
     assert crop.shape[:2] == (30, 30)
     assert (nb[:, 2] <= 29).all()
+
+
+def test_albu_wrapper_with_duck_typed_transform():
+    from balancedgroupsoftmax_tpu.data.transforms_extra import albu_wrapper
+
+    class FakeHFlip:
+        """Albumentations-interface transform: flips image + boxes, drops
+        the last box (simulating a transform removing a degenerate box)."""
+
+        def __call__(self, image, bboxes, labels):
+            h, w = image.shape[:2]
+            out = [(w - x2, y1, w - x1, y2) for x1, y1, x2, y2 in bboxes]
+            return dict(image=image[:, ::-1], bboxes=out[:-1], labels=labels[:-1])
+
+    img = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    boxes = np.array([[0, 0, 2, 2], [1, 0, 3, 1]], np.float32)
+    labels = np.array([3, 5], np.int32)
+    fn = albu_wrapper(FakeHFlip())
+    ni, nb, nl = fn(img, boxes, labels)
+    np.testing.assert_array_equal(ni, img[:, ::-1])
+    np.testing.assert_allclose(nb, [[2, 0, 4, 2]])
+    np.testing.assert_array_equal(nl, [3])
+
+
+def test_albu_wrapper_min_visible_filters_out_of_frame():
+    from balancedgroupsoftmax_tpu.data.transforms_extra import albu_wrapper
+
+    class Shift:
+        def __call__(self, image, bboxes, labels):
+            out = [(x1 + 90, y1, x2 + 90, y2) for x1, y1, x2, y2 in bboxes]
+            return dict(image=image, bboxes=out, labels=labels)
+
+    img = np.zeros((100, 100, 3), np.uint8)
+    boxes = np.array([[0, 0, 20, 20], [85, 0, 95, 20]], np.float32)
+    labels = np.array([1, 2], np.int32)
+    ni, nb, nl = albu_wrapper(Shift(), min_visible=0.5)(img, boxes, labels)
+    # first box shifted to [90,110] -> 50% visible (kept at thresh), second
+    # to [175,185] -> fully out of frame (dropped)
+    np.testing.assert_array_equal(nl, [1])
+
+
+def test_build_albu_clean_error_without_lib():
+    import pytest
+
+    from balancedgroupsoftmax_tpu.data.transforms_extra import build_albu
+
+    try:
+        import albumentations  # noqa: F401
+        pytest.skip("albumentations installed")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="albu_wrapper"):
+        build_albu([{"type": "HorizontalFlip", "p": 1.0}])

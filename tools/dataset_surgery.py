@@ -145,6 +145,130 @@ def split_dense(args):
     save(subset(val_ids), f"{args.out_prefix}_val.json")
 
 
+def _norm_name(n):
+    return n.strip().lower().replace("_", " ").replace("-", " ")
+
+
+def merge_coco(args):
+    """Merge a COCO-format annotation file into an LVIS-format one by
+    category NAME (lvis_analyse.py:145-183 `ana_coco_param` + the paper's
+    COCO-pretraining experiments parity): COCO categories are matched
+    against LVIS names/synonyms, COCO annotations are remapped to LVIS
+    category ids, and image/ann ids are offset to avoid collisions.
+    Unmatched COCO categories are dropped and reported. instance_count /
+    image_count / frequency are recomputed on the merged set."""
+    lvis = load(args.ann)
+    coco = load(args.coco_ann)
+
+    name2lvis = {}
+    for c in lvis["categories"]:
+        name2lvis[_norm_name(c["name"])] = c["id"]
+        for syn in c.get("synonyms", []):
+            name2lvis.setdefault(_norm_name(syn), c["id"])
+
+    cat_map, dropped = {}, []
+    for c in coco["categories"]:
+        lid = name2lvis.get(_norm_name(c["name"]))
+        if lid is None:
+            dropped.append(c["name"])
+        else:
+            cat_map[c["id"]] = lid
+    print(f"matched {len(cat_map)}/{len(coco['categories'])} COCO categories"
+          + (f"; dropped: {dropped}" if dropped else ""))
+
+    img_off = max((i["id"] for i in lvis["images"]), default=0) + 1
+    ann_off = max((a["id"] for a in lvis["annotations"]), default=0) + 1
+    # LVIS v0.5 images ARE COCO images: share by file_name when present.
+    lvis_files = {i["file_name"].split("/")[-1]: i["id"] for i in lvis["images"]}
+    coco_img_map, shared = {}, 0
+    for i in coco["images"]:
+        fname = i["file_name"].split("/")[-1]
+        if fname in lvis_files:
+            coco_img_map[i["id"]] = lvis_files[fname]
+            shared += 1
+        else:
+            new = dict(i)
+            new["id"] = img_off
+            new.setdefault("neg_category_ids", [])
+            new.setdefault("not_exhaustive_category_ids", [])
+            coco_img_map[i["id"]] = img_off
+            lvis["images"].append(new)
+            img_off += 1
+    print(f"{shared} shared images, {len(coco['images']) - shared} new")
+
+    kept = 0
+    for a in coco["annotations"]:
+        if a["category_id"] not in cat_map:
+            continue
+        new = dict(a)
+        new["id"] = ann_off
+        new["category_id"] = cat_map[a["category_id"]]
+        new["image_id"] = coco_img_map[a["image_id"]]
+        lvis["annotations"].append(new)
+        ann_off += 1
+        kept += 1
+    print(f"merged {kept} COCO annotations")
+
+    counts, img_sets = defaultdict(int), defaultdict(set)
+    for a in lvis["annotations"]:
+        counts[a["category_id"]] += 1
+        img_sets[a["category_id"]].add(a["image_id"])
+    for c in lvis["categories"]:
+        c["instance_count"] = counts[c["id"]]
+        c["image_count"] = len(img_sets[c["id"]])
+        c["frequency"] = ("r" if c["image_count"] < 10
+                          else "c" if c["image_count"] < 100 else "f")
+    save(lvis, args.out)
+
+
+def weight_stats(args):
+    """Per-class fc_cls weight norms (lvis_analyse.py:185-270
+    `load_checkpoint`/`load_checkpoint_all` parity — the diagnostic behind
+    the paper's Fig. 2: classifier weight norm collapses with instance
+    count). With --partition, GS logit norms are mapped back to class order
+    via label2logit. Prints per-frequency-bin means; --out saves the npz."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, ".")
+    from balancedgroupsoftmax_tpu.utils.checkpoint import restore_checkpoint
+
+    ck = restore_checkpoint(args.checkpoint)
+    params = ck["params"] if "params" in ck else ck
+    head = params["bbox_head"]
+    cls_w = np.asarray(head["fc_cls"]["kernel"])  # (in, num_logits)
+    cls_norm = np.linalg.norm(cls_w, axis=0)
+    reg_w = np.asarray(head["fc_reg"]["kernel"])
+    reg_norm = np.linalg.norm(reg_w, axis=0).reshape(-1, 4).mean(-1)
+
+    out = dict(cls_norm=cls_norm, cls_bias=np.asarray(head["fc_cls"]["bias"]),
+               reg_norm=reg_norm)
+    if args.partition:
+        d = np.load(args.partition, allow_pickle=True)
+        out["gs_cls_norm_by_class"] = cls_norm[d["label2logit"]]
+        cls_by_class = out["gs_cls_norm_by_class"]
+    else:
+        cls_by_class = cls_norm
+
+    if args.ann:
+        data = load(args.ann)
+        counts = defaultdict(int)
+        for a in data["annotations"]:
+            counts[a["category_id"]] += 1
+        bins = {"(0,10)": (1, 10), "[10,100)": (10, 100),
+                "[100,1000)": (100, 1000), "[1000,~)": (1000, 1 << 60)}
+        report = {}
+        for name, (lo, hi) in bins.items():
+            ids = [c["id"] for c in data["categories"] if lo <= counts[c["id"]] < hi]
+            ids = [i for i in ids if i < len(cls_by_class)]
+            report[name] = round(float(np.mean(cls_by_class[ids])), 4) if ids else None
+        print(json.dumps(dict(mean_cls_norm_by_bin=report)))
+
+    if args.out:
+        np.savez(args.out, **out)
+        print(f"wrote {args.out}: " + ", ".join(f"{k}{v.shape}" for k, v in out.items()))
+
+
 def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -166,6 +290,19 @@ def main():
     s.add_argument("--keep", type=int, nargs="+", required=True)
     s.add_argument("--remap", action="store_true")
     s.set_defaults(fn=filter_classes)
+
+    s = sub.add_parser("merge-coco")
+    s.add_argument("--ann", required=True, help="LVIS-format annotation json")
+    s.add_argument("--coco-ann", required=True, help="COCO-format annotation json")
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=merge_coco)
+
+    s = sub.add_parser("weight-stats")
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--partition", default=None)
+    s.add_argument("--ann", default=None, help="for per-frequency-bin means")
+    s.add_argument("--out", default=None, help="npz output path")
+    s.set_defaults(fn=weight_stats)
 
     s = sub.add_parser("split-dense")
     s.add_argument("--ann", required=True)

@@ -46,6 +46,15 @@ def parse_args():
         help="horizontal-flip TTA: run both orientations, map back, merge by "
         "NMS (MultiScaleFlipAug + merge_augs equivalent at detection level)",
     )
+    p.add_argument(
+        "--aug-scales",
+        type=float,
+        nargs="+",
+        default=None,
+        help="extra scale multipliers for multi-scale TTA (e.g. 0.75 1.25); "
+        "each is a full pass at scale*img_scale, detections merged per class "
+        "by NMS with the base pass (and flipped passes when --flip-aug)",
+    )
     return p.parse_args()
 
 
@@ -137,49 +146,96 @@ def main():
 
     t0 = time.time()
     batch_buf = {LANDSCAPE_BUCKET: [], PORTRAIT_BUCKET: []}
+    aug_models = {}  # (scale_mult, bucket) -> jitted predict
+
+    def get_scale_model(mult, bucket):
+        import dataclasses
+
+        key = (mult, bucket)
+        if key not in aug_models:
+            cfg_b = dataclasses.replace(det_cfg, image_size=bucket)
+            m = build_detector(cfg_b, partition=partition)
+            aug_models[key] = jax.jit(
+                lambda v, im, sh, sf, m=m: m.apply(v, im, sh, sf, method="predict")
+            )
+        return aug_models[key]
+
+    def unflip(b, ow):
+        """Map boxes predicted on a flipped image back (original scale)."""
+        fb = b.copy()
+        x1 = fb[:, 0].copy()
+        fb[:, 0] = ow - fb[:, 2] - 1
+        fb[:, 2] = ow - x1 - 1
+        return fb
 
     def flush(bucket):
+        import dataclasses
+
         buf = batch_buf[bucket]
         if not buf:
             return
         pad = args.batch_size - len(buf)
-        samples = [s for _, s in buf] + [buf[-1][1]] * pad
+        samples = [s for _, s, _ in buf] + [buf[-1][1]] * pad
+        raws = [r for _, _, r in buf] + [buf[-1][2]] * pad
         images = jnp.asarray(np.stack([s["image"] for s in samples]))
         shapes = jnp.asarray(np.stack([s["img_shape"] for s in samples]))
         sfs = jnp.asarray(np.stack([s["scale_factor"] for s in samples]))
         fn, mask_fn = models[bucket]
         dets = fn(variables, images, shapes, sfs)
-        boxes = np.asarray(dets.boxes)
-        scores = np.asarray(dets.scores)
-        labels = np.asarray(dets.labels)
-        valid = np.asarray(dets.valid)
-        mask_probs = None
-        if mask_fn is not None:
-            mask_probs = np.asarray(
-                mask_fn(variables, images, dets.boxes, dets.labels, sfs)
-            )
+        # np.array (copy): the zero-copy view is read-only and the TTA
+        # merge below writes the merged detections back in place
+        boxes = np.array(dets.boxes)
+        scores = np.array(dets.scores)
+        labels = np.array(dets.labels)
+        valid = np.array(dets.valid)
+
+        # ---- TTA passes (MultiScaleFlipAug equivalent). Every pass
+        # returns detections at ORIGINAL image scale, so merging is a
+        # per-image concat + class-aware NMS; flipped passes un-flip first.
+        aug_sets = []  # list of per-pass (boxes, scores, labels, valid)
+
+        def add_pass(b, s_, l_, v_, flipped):
+            if flipped:
+                b = np.stack(
+                    [unflip(b[bi], float(raws[bi].shape[1])) for bi in range(len(b))]
+                )
+            aug_sets.append((b, np.asarray(s_), np.asarray(l_), np.asarray(v_)))
 
         if args.flip_aug:
-            # horizontal-flip TTA (MultiScaleFlipAug equivalent): predict on
-            # the flipped batch, map detections back, merge per class by NMS
+            f = fn(variables, images[:, :, ::-1], shapes, sfs)
+            add_pass(np.asarray(f.boxes), f.scores, f.labels, f.valid, True)
+        for mult in args.aug_scales or []:
+            pcfg_m = dataclasses.replace(
+                pcfg,
+                scale=(round(pcfg.scale[0] * mult), round(pcfg.scale[1] * mult)),
+            )
+            sm = [
+                preprocess_image(
+                    r, np.zeros((0, 4), np.float32), np.zeros(0, np.int32),
+                    pcfg_m, False,
+                )
+                for r in raws
+            ]
+            # scaling preserves aspect, so one batch shares one bucket
+            bkt = sm[0]["bucket"]
+            fn_m = get_scale_model(mult, bkt)
+            im_m = jnp.asarray(np.stack([s["image"] for s in sm]))
+            sh_m = jnp.asarray(np.stack([s["img_shape"] for s in sm]))
+            sf_m = jnp.asarray(np.stack([s["scale_factor"] for s in sm]))
+            d = fn_m(variables, im_m, sh_m, sf_m)
+            add_pass(np.asarray(d.boxes), d.scores, d.labels, d.valid, False)
+            if args.flip_aug:
+                d = fn_m(variables, im_m[:, :, ::-1], sh_m, sf_m)
+                add_pass(np.asarray(d.boxes), d.scores, d.labels, d.valid, True)
+
+        if aug_sets:
             from balancedgroupsoftmax_tpu.ops.nms import nms_keep as _nk
 
-            f_dets = fn(variables, images[:, :, ::-1], shapes, sfs)
-            f_boxes = np.asarray(f_dets.boxes)
-            f_scores = np.asarray(f_dets.scores)
-            f_labels = np.asarray(f_dets.labels)
-            f_valid = np.asarray(f_dets.valid)
             for bi in range(len(buf)):
-                # boxes are at ORIGINAL scale: flip across original width
-                ow = float(shapes[bi, 1] / sfs[bi])
-                fb = f_boxes[bi].copy()
-                x1 = fb[:, 0].copy()
-                fb[:, 0] = ow - fb[:, 2] - 1
-                fb[:, 2] = ow - x1 - 1
-                boxes_m = np.concatenate([boxes[bi], fb])
-                scores_m = np.concatenate([scores[bi], f_scores[bi]])
-                labels_m = np.concatenate([labels[bi], f_labels[bi]])
-                valid_m = np.concatenate([valid[bi], f_valid[bi]])
+                boxes_m = np.concatenate([boxes[bi]] + [a[0][bi] for a in aug_sets])
+                scores_m = np.concatenate([scores[bi]] + [a[1][bi] for a in aug_sets])
+                labels_m = np.concatenate([labels[bi]] + [a[2][bi] for a in aug_sets])
+                valid_m = np.concatenate([valid[bi]] + [a[3][bi] for a in aug_sets])
                 # label-offset trick: one NMS call, suppression within class
                 off = labels_m[:, None].astype(np.float64) * 1e5
                 keep_mask = np.asarray(
@@ -197,7 +253,17 @@ def main():
                 labels[bi, : len(kept)] = labels_m[kept]
                 valid[bi, : len(kept)] = True
 
-        for bi, (idx, _) in enumerate(buf):
+        # mask head runs on the FINAL (post-merge) boxes so pasted masks
+        # match the reported detections (reference aug-test ordering:
+        # bbox merge first, then the mask branch on merged boxes)
+        mask_probs = None
+        if mask_fn is not None:
+            mask_probs = np.asarray(
+                mask_fn(variables, images, jnp.asarray(boxes),
+                        jnp.asarray(labels), sfs)
+            )
+
+        for bi, (idx, _, _) in enumerate(buf):
             recs = detections_to_records(
                 ds.img_infos[idx]["id"], boxes[bi], scores[bi], labels[bi],
                 valid[bi], ds.cat_ids,
@@ -224,7 +290,7 @@ def main():
             img, np.zeros((0, 4), np.float32), np.zeros(0, np.int32), pcfg, False
         )
         bucket = s["bucket"]
-        batch_buf[bucket].append((idx, s))
+        batch_buf[bucket].append((idx, s, img))
         if len(batch_buf[bucket]) == args.batch_size:
             flush(bucket)
         if (idx + 1) % 100 == 0:
