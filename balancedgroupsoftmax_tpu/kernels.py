@@ -95,15 +95,26 @@ def batched_multiclass_nms(
     nms_type: str = "nms",
     soft_sigma: float = 0.5,
     soft_min_score: float = 1e-3,
+    class_cap: int = 384,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched per-class NMS + global top-k (ops/nms.multiclass_nms
     semantics over a leading batch dim). The per-class keep computation is
     flattened to (B*num_fg, K) so the Pallas kernel sees one large grid.
 
+    When the class count exceeds `class_cap`, only the top `class_cap`
+    classes per image (ranked by per-class max candidate score) enter NMS.
+    This is EXACT for class_cap >= max_per_img: greedy NMS always keeps a
+    class's highest-scoring candidate, so every selected class yields one
+    survivor scoring >= every candidate of every dropped class — dropped
+    classes can never reach the final top max_per_img. For LVIS this cuts
+    the per-class NMS grid from 1231 to class_cap programs.
+
     nms_type='soft_nms' runs linear soft-NMS per class instead
     (the rcnn test option noted in the reference config,
     configs/bags/gs_faster...bg8.py:118-119) — scores decay rather than
-    hard-suppress; the decayed scores feed the global top-k."""
+    hard-suppress; the decayed scores feed the global top-k (the selected
+    class's top candidate is picked first and never decayed, so the
+    exactness argument above still holds)."""
     b, n, c = scores.shape
     num_fg = c - 1
     k = min(candidates_per_class, n)
@@ -111,9 +122,22 @@ def batched_multiclass_nms(
 
     fg_scores = jnp.swapaxes(scores[..., 1:], 1, 2)  # (B, num_fg, N)
     masked = jnp.where(valid[:, None, :] & (fg_scores > score_thr), fg_scores, -jnp.inf)
+
+    cap = max(class_cap, max_per_img)
+    sel_cls = None
+    if num_fg > cap:
+        cls_max = jnp.max(masked, axis=-1)  # (B, num_fg)
+        _, sel_cls = jax.lax.top_k(cls_max, cap)  # (B, cap)
+        masked = jnp.take_along_axis(masked, sel_cls[..., None], axis=1)
+        num_fg = cap
+
     top_scores, top_idx = jax.lax.top_k(masked, k)  # (B, num_fg, K)
     if class_specific:
         per_class = jnp.swapaxes(boxes.reshape(b, n, c, 4)[..., 1:, :], 1, 2)
+        if sel_cls is not None:
+            per_class = jnp.take_along_axis(
+                per_class, sel_cls[..., None, None], axis=1
+            )
         cand_boxes = jnp.take_along_axis(per_class, top_idx[..., None], axis=2)
     else:
         cand_boxes = jax.vmap(lambda bx, ix: bx[ix])(
@@ -159,6 +183,8 @@ def batched_multiclass_nms(
     cls_idx = (flat_idx // k).astype(jnp.int32)
     slot_idx = flat_idx % k
     det_boxes = jax.vmap(lambda cb, ci, si: cb[ci, si])(cand_boxes, cls_idx, slot_idx)
+    if sel_cls is not None:  # map capped class slots back to real labels
+        cls_idx = jnp.take_along_axis(sel_cls, cls_idx, axis=1).astype(jnp.int32)
     return (
         det_boxes,
         jnp.where(det_valid, out_scores, 0.0),

@@ -196,3 +196,39 @@ def test_batched_multiclass_soft_nms():
     assert int(np.asarray(sv).sum()) >= int(np.asarray(hv).sum())
     # top-scoring detection identical under both (never decayed)
     np.testing.assert_allclose(np.asarray(ss[0, 0]), np.asarray(hs[0, 0]), rtol=1e-5)
+
+
+def test_multiclass_nms_class_cap_exact():
+    """Class pre-selection (class_cap) must not change the result: each
+    class's top candidate survives greedy NMS, so only the top max_per_img
+    classes by max score can reach the final detections."""
+    from balancedgroupsoftmax_tpu.kernels import batched_multiclass_nms
+
+    rng = np.random.RandomState(7)
+    n, c = 50, 40  # 39 fg classes
+    boxes = random_boxes(rng, n)[None]
+    scores = rng.dirichlet(np.ones(c) * 0.05, n).astype(np.float32)[None]
+    valid = np.ones((1, n), bool)
+    args = (jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+            0.01, 0.5, 8)
+    full = batched_multiclass_nms(*args, class_cap=1000)
+    capped = batched_multiclass_nms(*args, class_cap=8)  # cap == max_per_img
+    for a, b_ in zip(full, capped):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-6)
+
+
+def test_multiclass_nms_class_cap_class_specific_boxes():
+    from balancedgroupsoftmax_tpu.kernels import batched_multiclass_nms
+
+    rng = np.random.RandomState(8)
+    n, c = 30, 25
+    boxes = np.stack([random_boxes(rng, n) for _ in range(c)], 1)
+    boxes = boxes.reshape(n, c * 4)[None]
+    scores = rng.dirichlet(np.ones(c) * 0.05, n).astype(np.float32)[None]
+    valid = np.ones((1, n), bool)
+    args = (jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+            0.01, 0.5, 10)
+    full = batched_multiclass_nms(*args, class_cap=1000)
+    capped = batched_multiclass_nms(*args, class_cap=10)
+    for a, b_ in zip(full, capped):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-6)
