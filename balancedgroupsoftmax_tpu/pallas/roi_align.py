@@ -38,16 +38,16 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.roi_align import map_roi_levels
 
 WIN_H = 32  # short-axis window cells
-WIN_W = 80  # long-axis window cells
+WIN_W = 80  # long-axis window cells (full; covers aspect ratios to ~8)
+WIN_W_LO = 40  # first width half: covers the common aspect range alone
 ROIS_PER_BLOCK = 4  # rois per grid step (amortizes per-program overhead)
 
 
 def _kernel(
     # scalar prefetch (all 1-D per-roi vectors: 2-D SMEM operands pad the
     # minor dim to 128 and blow the SMEM budget)
-    src_ref,  # (R,) i32: index of the source buffer (level*2 + orient)
     img_ref,  # (R,) i32
-    y0_ref,  # (R,) i32 window origin (oriented frame)
+    y0_ref,  # (R,) i32 window origin row in the STACKED buffer
     x0_ref,  # (R,) i32
     sh_ref,  # (R,) f32 start_h
     sw_ref,  # (R,) f32 start_w
@@ -56,70 +56,80 @@ def _kernel(
     hl_ref,  # (R,) f32 level H
     wl_ref,  # (R,) f32 level W
     por_ref,  # (R,) i32 portrait flag
-    # inputs (HBM): level0..3 normal, then level0..3 transposed
-    *refs_and_out,
+    wide_ref,  # (R,) i32: roi needs window columns beyond WIN_W_LO
+    y0l_ref,  # (R,) i32 window origin row in LEVEL coordinates (interp origin)
+    # input (HBM): the stacked (B, sum_sections_H, max_W, C) pyramid
+    f,
+    out_ref,
+    win_lo,
+    win_hi,
+    sem,
+    *,
     out_size: int,
     sample_num: int,
 ):
-    fs = refs_and_out[:-3]
-    out_ref = refs_and_out[-3]
-    win_raw = refs_and_out[-2]
-    sem = refs_and_out[-1]
-
     blk = pl.program_id(0)
 
     def window_dma(ri, slot):
-        """The (identical) DMA descriptor for roi ri into buffer `slot` —
-        reconstructed at start and wait sites."""
-        src = src_ref[ri]
+        """The (identical) DMA descriptors for roi ri into buffer `slot` —
+        reconstructed at start and wait sites. The window is transferred in
+        two width halves into two CONTIGUOUS scratch buffers (a partial-
+        width destination inside one wide buffer degrades to per-row
+        descriptors); the second half moves only for wide-aspect rois,
+        halving HBM traffic for the common case. y0 already carries the
+        roi's (level, orientation) section row offset, so the transfer
+        source is data-independent — no conditional buffer dispatch."""
         img = img_ref[ri]
         y0 = y0_ref[ri]
         x0 = x0_ref[ri]
-        copies = []
-        for i, f in enumerate(fs):
-            copies.append(
-                (
-                    src == i,
-                    pltpu.make_async_copy(
-                        f.at[
-                            img,
-                            pl.ds(y0, WIN_H),
-                            pl.ds(pl.multiple_of(x0, 8), WIN_W),
-                            :,
-                        ],
-                        win_raw.at[slot],
-                        sem.at[slot],
-                    ),
-                )
-            )
-        return copies
+        lo = pltpu.make_async_copy(
+            f.at[img, pl.ds(y0, WIN_H), pl.ds(pl.multiple_of(x0, 8), WIN_W_LO), :],
+            win_lo.at[slot],
+            sem.at[slot, 0],
+        )
+        hi = pltpu.make_async_copy(
+            f.at[
+                img,
+                pl.ds(y0, WIN_H),
+                pl.ds(pl.multiple_of(x0 + WIN_W_LO, 8), WIN_W - WIN_W_LO),
+                :,
+            ],
+            win_hi.at[slot],
+            sem.at[slot, 1],
+        )
+        return lo, hi, wide_ref[ri] > 0
 
     # issue all ROIS_PER_BLOCK window DMAs up front (the DMA engine
     # pipelines them; compute of roi j overlaps the later transfers)
     for j in range(ROIS_PER_BLOCK):
-        for cond, dma in window_dma(blk * ROIS_PER_BLOCK + j, j):
-            @pl.when(cond)
-            def _(dma=dma):
-                dma.start()
+        lo, hi, wide = window_dma(blk * ROIS_PER_BLOCK + j, j)
+        lo.start()
+
+        @pl.when(wide)
+        def _(hi=hi):
+            hi.start()
 
     for j in range(ROIS_PER_BLOCK):
         r = blk * ROIS_PER_BLOCK + j
-        for cond, dma in window_dma(r, j):
-            @pl.when(cond)
-            def _(dma=dma):
-                dma.wait()
+        lo, hi, wide = window_dma(r, j)
+        lo.wait()
+
+        @pl.when(wide)
+        def _(hi=hi):
+            hi.wait()
+
         _compute_one_roi(
-            r, j, src_ref, img_ref, y0_ref, x0_ref, sh_ref, sw_ref, bh_ref,
-            bw_ref, hl_ref, wl_ref, por_ref, win_raw, out_ref, out_size,
-            sample_num,
+            r, j, img_ref, y0l_ref, x0_ref, sh_ref, sw_ref, bh_ref,
+            bw_ref, hl_ref, wl_ref, por_ref, wide_ref, win_lo, win_hi,
+            out_ref, out_size, sample_num,
         )
 
 
 def _compute_one_roi(
-    r, j, src_ref, img_ref, y0_ref, x0_ref, sh_ref, sw_ref, bh_ref, bw_ref,
-    hl_ref, wl_ref, por_ref, win_raw, out_ref, out_size, sample_num,
+    r, j, img_ref, y0_ref, x0_ref, sh_ref, sw_ref, bh_ref, bw_ref,
+    hl_ref, wl_ref, por_ref, wide_ref, win_lo, win_hi, out_ref, out_size,
+    sample_num,
 ):
-    os_ = out_size * sample_num
     start_h = sh_ref[r]
     start_w = sw_ref[r]
     bin_h = bh_ref[r]
@@ -128,52 +138,67 @@ def _compute_one_roi(
     w_l = wl_ref[r]
     portrait = por_ref[r] > 0
 
-    idx = jax.lax.broadcasted_iota(jnp.int32, (os_, 1), 0).astype(jnp.float32)
-    grid_pos = (
-        jnp.floor(idx / sample_num) + ((idx % sample_num) + 0.5) / sample_num
+    idx = jax.lax.broadcasted_iota(jnp.int32, (out_size, 1), 0).astype(
+        jnp.float32
     )
 
     def interp_matrix(start, bin_sz, size_l, origin, win):
-        """(OS, win) separable bilinear weights, CUDA boundary rules."""
-        pos = start + bin_sz * grid_pos  # (os, 1) cell coords
-        valid = (pos >= -1.0) & (pos <= size_l)
-        p = jnp.maximum(pos, 0.0)
-        low = jnp.floor(p)
-        collapse = low >= size_l - 1.0
-        low = jnp.where(collapse, size_l - 1.0, low)
-        p_eff = jnp.where(collapse, low, p)
-        high = jnp.where(collapse, low, low + 1.0)
-        lfrac = p_eff - low
-        hfrac = 1.0 - lfrac
-        low_w = jnp.clip(low - origin, 0.0, win - 1.0)
-        high_w = jnp.clip(high - origin, 0.0, win - 1.0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (os_, win), 1).astype(
+        """(out_size, win) separable bilinear weights with the sample_num
+        x sample_num average pooling FOLDED IN (pooling commutes with the
+        linear interpolation): row k is the mean of the sample_num sample
+        rows of bin k. CUDA boundary rules per sample."""
+        cols = jax.lax.broadcasted_iota(jnp.int32, (out_size, win), 1).astype(
             jnp.float32
         )
-        m = hfrac * (cols == low_w) + lfrac * (cols == high_w)
-        return jnp.where(valid, m, 0.0)
+        m_sum = jnp.zeros((out_size, win), jnp.float32)
+        for s in range(sample_num):
+            pos = start + bin_sz * (idx + (s + 0.5) / sample_num)
+            valid = (pos >= -1.0) & (pos <= size_l)
+            p = jnp.maximum(pos, 0.0)
+            low = jnp.floor(p)
+            collapse = low >= size_l - 1.0
+            low = jnp.where(collapse, size_l - 1.0, low)
+            p_eff = jnp.where(collapse, low, p)
+            high = jnp.where(collapse, low, low + 1.0)
+            lfrac = p_eff - low
+            hfrac = 1.0 - lfrac
+            low_w = jnp.clip(low - origin, 0.0, win - 1.0)
+            high_w = jnp.clip(high - origin, 0.0, win - 1.0)
+            m = hfrac * (cols == low_w) + lfrac * (cols == high_w)
+            m_sum = m_sum + jnp.where(valid, m, 0.0)
+        return m_sum / sample_num
 
     y0f = y0_ref[r].astype(jnp.float32)
     x0f = x0_ref[r].astype(jnp.float32)
     wy = interp_matrix(start_h, bin_h, h_l, y0f, WIN_H)  # (os, WIN_H)
     wx = interp_matrix(start_w, bin_w, w_l, x0f, WIN_W)  # (os, WIN_W)
 
-    win = win_raw[j][...]  # (WIN_H, WIN_W, C), native dtype (bf16 prod)
-    c = win.shape[-1]
-    wdt = win.dtype
-    # tmp[i, w, c] = sum_h wy[i, h] * win[h, w, c] — matmul in the window's
-    # dtype (bf16 MXU at full rate), f32 accumulation
-    tmp = jax.lax.dot_general(
-        wy.astype(wdt),
-        win.reshape(WIN_H, WIN_W * c),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(os_, WIN_W, c)
-    # out[j, i, c] = sum_w wx[j, w] * tmp[i, w, c] — rank-3 contraction
-    # avoids materializing a transposed copy of tmp
-    out = jax.lax.dot_general(
-        wx, tmp, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (j, i, c): x-sample, y-sample, C in the ORIENTED frame
+    wlo = win_lo[j][...]  # (WIN_H, WIN_W_LO, C), native dtype (bf16 prod)
+    c = wlo.shape[-1]
+    wdt = wlo.dtype
+
+    def half(win, wx_part, win_w):
+        # tmp[i, w, c] = sum_h wy[i, h] * win[h, w, c] — matmul in the
+        # window's dtype (bf16 MXU at full rate), f32 accumulation; H is
+        # the untiled dim, so contracting it first avoids an internal
+        # transpose of the (sublane-tiled) W axis. Then
+        # out[j, i, c] = sum_w wx[j, w] * tmp[i, w, c].
+        tmp = jax.lax.dot_general(
+            wy.astype(wdt),
+            win.reshape(WIN_H, win_w * c),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(out_size, win_w, c)
+        return jax.lax.dot_general(
+            wx_part, tmp, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (j, i, c): x-bin, y-bin, C in the ORIENTED frame
+
+    out = half(wlo, wx[:, :WIN_W_LO], WIN_W_LO)
+    # The hi half is stale (possibly NaN) scratch for narrow rois: select
+    # its contribution with where (0-weight * NaN would still be NaN).
+    hi_term = half(win_hi[j][...], wx[:, WIN_W_LO:], WIN_W - WIN_W_LO)
+    out = out + jnp.where(wide_ref[r] > 0, hi_term, 0.0)
 
     # un-orient: landscape needs (y, x); portrait frame's (x, y) is the
     # original (y, x) already
@@ -198,7 +223,6 @@ def _forward(
     b, r = rois.shape[:2]
     c = feats[0].shape[-1]
     num_levels = len(feats)
-    os_ = out_size * sample_num
 
     flat_rois = rois.reshape(b * r, 4).astype(jnp.float32)
     img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
@@ -242,7 +266,16 @@ def _forward(
     # 8-aligned; align down (the window keeps covering the roi start).
     x0 = (x0 // 8) * 8
     src = lvls + jnp.where(portrait, num_levels, 0)
+    # does any sample's high cell fall beyond the first width half?
+    # max sampled x = start + bin*(os-0.5)/1 -> high cell <= floor(start+span)+1
+    end_cell = jnp.floor(o_start_w + o_bin_w * out_size).astype(jnp.int32) + 1
+    wide = (end_cell - x0) >= WIN_W_LO
 
+    # Stack all (level, orientation) sections into ONE HBM buffer, padded
+    # to a uniform width: the kernel then needs no data-dependent buffer
+    # dispatch (8 conditional DMA starts + waits per roi cost ~1us/roi in
+    # scalar-core branches). A roi's window row offset becomes
+    # y0 + row_off[section], computed host-side.
     def pad_min(f, min_h, min_w):
         ph = max(min_h - f.shape[1], 0)
         pw = max(min_w - f.shape[2], 0)
@@ -250,11 +283,15 @@ def _forward(
             f = jnp.pad(f, ((0, 0), (0, ph), (0, pw), (0, 0)))
         return f
 
-    normal = [pad_min(f, WIN_H, WIN_W) for f in feats]
-    transposed = [
+    sections = [pad_min(f, WIN_H, WIN_W) for f in feats] + [
         pad_min(jnp.transpose(f, (0, 2, 1, 3)), WIN_H, WIN_W) for f in feats
     ]
-    buffers = normal + transposed
+    max_w = max(f.shape[2] for f in sections)
+    sections = [pad_min(f, WIN_H, max_w) for f in sections]
+    row_off = np.cumsum([0] + [f.shape[1] for f in sections[:-1]]).astype(np.int32)
+    stacked = jnp.concatenate(sections, axis=1)
+    y0_local = y0
+    y0 = y0 + jnp.asarray(row_off)[src]
 
     rb = ROIS_PER_BLOCK
     n_rois = b * r
@@ -265,24 +302,28 @@ def _forward(
         pad1 = lambda a: a
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=11,
+        num_scalar_prefetch=12,
         grid=((n_rois + n_pad) // rb,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 * num_levels),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (rb, os_, os_, c), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (rb, out_size, out_size, c),
+            lambda i, *_: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((rb, WIN_H, WIN_W, c), feats[0].dtype),
-            pltpu.SemaphoreType.DMA((rb,)),
+            pltpu.VMEM((rb, WIN_H, WIN_W_LO, c), feats[0].dtype),
+            pltpu.VMEM((rb, WIN_H, WIN_W - WIN_W_LO, c), feats[0].dtype),
+            pltpu.SemaphoreType.DMA((rb, 2)),
         ],
     )
     samples = pl.pallas_call(
         functools.partial(_kernel, out_size=out_size, sample_num=sample_num),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_rois + n_pad, os_, os_, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_rois + n_pad, out_size, out_size, c), jnp.float32
+        ),
         interpret=interpret,
     )(
-        pad1(src.astype(jnp.int32)),
         pad1(img_idx.astype(jnp.int32)),
         pad1(y0.astype(jnp.int32)),
         pad1(x0.astype(jnp.int32)),
@@ -293,13 +334,14 @@ def _forward(
         pad1(o_h),
         pad1(o_w),
         pad1(portrait.astype(jnp.int32)),
-        *buffers,
+        pad1(wide.astype(jnp.int32)),
+        pad1(y0_local.astype(jnp.int32)),
+        stacked,
     )[:n_rois]
 
-    pooled = samples.reshape(b * r, out_size, sample_num, out_size, sample_num, c).mean(
-        axis=(2, 4)
-    )
-    return pooled.reshape(b, r, out_size, out_size, c).astype(feats[0].dtype)
+    # the sample-grid average pooling is folded into the kernel's
+    # interpolation matrices — samples ARE the pooled output
+    return samples.reshape(b, r, out_size, out_size, c).astype(feats[0].dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
