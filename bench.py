@@ -5,7 +5,7 @@ Prints ONE JSON line:
 
 Measures the full flagship inference graph — backbone + FPN + RPN +
 proposal NMS + fused multi-level RoIAlign + grouped-softmax head + score
-merge + 1231-class NMS — at batch 8, bf16, 800x1344, with detections
+merge + 1231-class NMS — at batch 16, bf16, 800x1344, with detections
 fetched to host each step (as a serving pipeline would).
 
 Baseline context (BASELINE.md): the reference publishes no speed numbers;
@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_BASELINE_IMG_PER_SEC = 25.0
-BATCH = 8
+BATCH = 16
 WARMUP = 2
 ITERS = 10
 
@@ -83,7 +83,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "images/sec/chip (BAGS Faster R-CNN R50-FPN, 1231-class GS head, 800x1344, bf16, batch 8, single-chip inference incl. detection fetch)",
+                "metric": "images/sec/chip (BAGS Faster R-CNN R50-FPN, 1231-class GS head, 800x1344, bf16, batch 16, single-chip inference incl. detection fetch)",
                 "value": round(imgs_per_sec, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMG_PER_SEC, 3),
