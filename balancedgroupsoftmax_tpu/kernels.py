@@ -60,13 +60,18 @@ def batched_nms_topk(
     """
     g, k = valid.shape
     kp = -(-k // 128) * 128
-    # the Pallas kernel keeps a (K, K) iou+adj pair in VMEM: only feasible
-    # up to K ~1280 (2 * K^2 * 4B <= ~14MB); larger rows (train-time RPN
-    # nms_pre=2000) use the XLA fixpoint
+    # the full-adjacency Pallas kernel keeps a (K, K) iou+adj pair in VMEM:
+    # only feasible up to K ~1280 (2 * K^2 * 4B <= ~14MB); larger rows
+    # (train-time RPN nms_pre=2000) use the tile-sequential kernel whose
+    # VMEM footprint is the (K, tile) strip
     if pallas_enabled() and kp * kp * 8 <= 14e6:
         from .pallas.nms import nms_keep_batched
 
         keep = nms_keep_batched(boxes, valid, iou_thr)
+    elif pallas_enabled():
+        from .pallas.nms import nms_keep_tiled
+
+        keep = nms_keep_tiled(boxes, valid, iou_thr)
     else:
         from .ops.nms import nms_keep
 

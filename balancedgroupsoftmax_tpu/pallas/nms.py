@@ -71,6 +71,172 @@ def _nms_block_kernel(iou_thr, x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_r
     keep_ref[:, 0, :] = keep.astype(jnp.int32)
 
 
+def _nms_tiled_kernel(
+    iou_thr,
+    tile,
+    x1r_ref,  # (1, K) row layout (for candidate-tile lane slices)
+    y1r_ref,
+    x2r_ref,
+    y2r_ref,
+    vr_ref,
+    col_ref,  # (K, 8) column layout [x1 y1 x2 y2 v 0 0 0] (suppressor rows)
+    keep_ref,  # (1, K) f32 out — read back for cross-tile suppression
+):
+    k = x1r_ref.shape[1]
+    n_tiles = k // tile
+
+    x1c = col_ref[:, 0:1]  # (K, 1)
+    y1c = col_ref[:, 1:2]
+    x2c = col_ref[:, 2:3]
+    y2c = col_ref[:, 3:4]
+    vc = col_ref[:, 4:5]
+    area_c = (x2c - x1c + 1.0) * (y2c - y1c + 1.0)  # (K, 1)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (k, tile), 0)  # global i
+
+    keep_ref[:, :] = jnp.zeros((1, k), jnp.float32)
+
+    def tile_body(t, carry):
+        s = t * tile
+        cx1 = x1r_ref[:, pl.ds(s, tile)]  # (1, tile)
+        cy1 = y1r_ref[:, pl.ds(s, tile)]
+        cx2 = x2r_ref[:, pl.ds(s, tile)]
+        cy2 = y2r_ref[:, pl.ds(s, tile)]
+        cv = vr_ref[:, pl.ds(s, tile)]
+        area_t = (cx2 - cx1 + 1.0) * (cy2 - cy1 + 1.0)  # (1, tile)
+
+        # adjT[i, j] = suppressor i (global, any tile) overlaps tile box j
+        ix1 = jnp.maximum(x1c, cx1)  # (K, tile)
+        iy1 = jnp.maximum(y1c, cy1)
+        ix2 = jnp.minimum(x2c, cx2)
+        iy2 = jnp.minimum(y2c, cy2)
+        iw = jnp.maximum(ix2 - ix1 + 1.0, 0.0)
+        ih = jnp.maximum(iy2 - iy1 + 1.0, 0.0)
+        inter = iw * ih
+        union = area_c + area_t - inter
+        iou = inter / jnp.maximum(union, 1e-6)
+        col_idx = s + jax.lax.broadcasted_iota(jnp.int32, (k, tile), 1)
+        adj_t = (
+            (iou > iou_thr).astype(jnp.float32)
+            * (row_idx < col_idx).astype(jnp.float32)
+            * vc
+            * cv
+        )  # (K, tile)
+
+        # cross-tile: earlier tiles' keeps are final; later rows are 0 in
+        # keep_ref so the matmul ignores them. (1,K) @ (K,tile) on the MXU.
+        kept_prev = keep_ref[:, :]  # (1, K)
+        cross = jax.lax.dot_general(
+            kept_prev,
+            adj_t,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, tile)
+        base = cv * (cross < 0.5).astype(jnp.float32)  # valid & not cross-suppressed
+
+        # within-tile adjacency recomputed from column-layout ref slices
+        # (Mosaic can't dynamic_slice a value, but ref loads take pl.ds);
+        # the extra (tile, tile) IoU is small next to the (K, tile) strip.
+        wx1 = col_ref[pl.ds(s, tile), 0:1]  # (tile, 1)
+        wy1 = col_ref[pl.ds(s, tile), 1:2]
+        wx2 = col_ref[pl.ds(s, tile), 2:3]
+        wy2 = col_ref[pl.ds(s, tile), 3:4]
+        wv = col_ref[pl.ds(s, tile), 4:5]
+        warea = (wx2 - wx1 + 1.0) * (wy2 - wy1 + 1.0)
+        wix1 = jnp.maximum(wx1, cx1)
+        wiy1 = jnp.maximum(wy1, cy1)
+        wix2 = jnp.minimum(wx2, cx2)
+        wiy2 = jnp.minimum(wy2, cy2)
+        wiw = jnp.maximum(wix2 - wix1 + 1.0, 0.0)
+        wih = jnp.maximum(wiy2 - wiy1 + 1.0, 0.0)
+        winter = wiw * wih
+        wiou = winter / jnp.maximum(warea + area_t - winter, 1e-6)
+        wrow = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+        wcol = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+        adj_w = (
+            (wiou > iou_thr).astype(jnp.float32)
+            * (wrow < wcol).astype(jnp.float32)
+            * wv
+            * cv
+        )  # (tile, tile) within-tile, i<j only
+
+        def cond(state):
+            _, changed = state
+            return changed
+
+        def body(state):
+            kp, _ = state
+            sup = jax.lax.dot_general(
+                kp,
+                adj_w,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1, tile)
+            new_kp = base * (sup < 0.5).astype(jnp.float32)
+            return new_kp, jnp.any(new_kp != kp)
+
+        kp, _ = jax.lax.while_loop(cond, body, (base, jnp.asarray(True)))
+        keep_ref[:, pl.ds(s, tile)] = kp
+        return carry
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("iou_thr", "tile", "interpret"))
+def nms_keep_tiled(
+    boxes: jnp.ndarray,  # (G, K, 4) f32, score-descending rows
+    valid: jnp.ndarray,  # (G, K) bool
+    iou_thr: float,
+    tile: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Tile-sequential greedy NMS for large K (train-time RPN, K=2000).
+
+    The full-adjacency kernel needs a (K, K) workspace in VMEM and stops
+    scaling near K~1280. Here each grid program walks one row's boxes in
+    score order, `tile` at a time: suppression by all earlier (finalized)
+    tiles is one (1,K)x(K,tile) MXU matmul against the keep vector, and
+    only the (tile, tile) within-tile chain needs a fixpoint — so rounds
+    are bounded by within-tile chain depth and VMEM by the (K, tile) strip.
+    Exact greedy semantics (+1 IoU convention), same contract as
+    nms_keep_batched.
+    """
+    g, k = valid.shape
+    if tile == 0:
+        # ~4 live (KP, tile) f32 strips must fit the ~16MB scoped-VMEM
+        # budget; 256 measures fastest at K=2000 (4.99 vs 6.45 ms @128)
+        kp128 = -(-k // 128) * 128
+        tile = 256 if 4 * kp128 * 256 * 4 <= 12e6 else 128
+    kp = -(-k // tile) * tile
+    kp = -(-kp // 128) * 128
+
+    def pad_row(x):  # (G, K) -> (G, 1, KP)
+        return jnp.zeros((g, 1, kp), jnp.float32).at[:, 0, :k].set(
+            x.astype(jnp.float32)
+        )
+
+    coords_r = [pad_row(boxes[..., i]) for i in range(4)] + [pad_row(valid)]
+    # single packed column-layout input: 5 separate (KP, 1) arrays would
+    # each pad to a full 128-lane tile in VMEM; one (KP, 8) costs 1/5th
+    col = jnp.zeros((g, kp, 8), jnp.float32)
+    col = col.at[:, :k, :4].set(boxes.astype(jnp.float32))
+    col = col.at[:, :k, 4].set(valid.astype(jnp.float32))
+
+    kernel = functools.partial(_nms_tiled_kernel, iou_thr, tile)
+    # leading None squeezes the grid dim: kernel refs are (1, KP) / (KP, 8)
+    row_spec = pl.BlockSpec((None, 1, kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((None, kp, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    keep = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[row_spec] * 5 + [col_spec],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((g, 1, kp), jnp.float32),
+        interpret=interpret,
+    )(*coords_r, col)
+    return keep[:, 0, :k] > 0.5
+
+
 @functools.partial(jax.jit, static_argnames=("iou_thr", "block", "interpret"))
 def nms_keep_batched(
     boxes: jnp.ndarray,  # (G, K, 4) f32, score-descending rows
