@@ -122,6 +122,97 @@ def preprocess_image(
     )
 
 
+def preprocess_image_file(
+    path: str,
+    gt_bboxes: np.ndarray,
+    gt_labels: np.ndarray,
+    cfg: PipelineConfig,
+    train: bool,
+    rng: Optional[np.random.RandomState] = None,
+) -> Dict[str, np.ndarray]:
+    """`preprocess_image` from a file path, using the native pixel path.
+
+    JPEG decode + fused bilinear resize / flip / normalize / pad run in one
+    C++ call (native/src/bags_loader.cpp) with the GIL released; box
+    geometry and GT padding stay in numpy (identical math to
+    `preprocess_image`, including the rng draw order: multiscale short
+    side first, then the flip coin). Non-JPEG inputs or a missing native
+    library fall back to the cv2 path transparently.
+    """
+    from .. import native
+
+    data = None
+    dims = None
+    if native.available():
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+            dims = native.jpeg_dims(data)
+        except OSError:
+            dims = None
+    if dims is None:
+        import cv2
+
+        img = cv2.imread(path)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        return preprocess_image(img, gt_bboxes, gt_labels, cfg, train, rng)
+
+    w0, h0 = dims
+    scale = cfg.scale
+    if train and cfg.multiscale_range is not None and rng is not None:
+        short = int(rng.randint(cfg.multiscale_range[0], cfg.multiscale_range[1] + 1))
+        scale = (max(cfg.scale), short)
+    new_w, new_h, _ = rescale_size(w0, h0, scale)
+    w_scale = new_w / w0
+    h_scale = new_h / h0
+    scale_factor = np.array([w_scale, h_scale, w_scale, h_scale], np.float32)
+    boxes = gt_bboxes * scale_factor if len(gt_bboxes) else gt_bboxes
+
+    flipped = bool(train and rng is not None and rng.rand() < cfg.flip_prob)
+    if flipped and len(boxes):
+        boxes = boxes.copy()
+        x1 = boxes[:, 0].copy()
+        boxes[:, 0] = new_w - boxes[:, 2] - 1
+        boxes[:, 2] = new_w - x1 - 1
+
+    land, port = cfg.buckets()
+    bucket = land if new_w >= new_h else port
+    bh, bw = bucket
+    padded = np.zeros((bh, bw, 3), np.float32)
+    if not native.preprocess_jpeg(
+        data, new_w, new_h, flipped, cfg.mean, cfg.std, padded
+    ):
+        import cv2
+
+        img = cv2.imread(path)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        resized = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+        if flipped:
+            resized = resized[:, ::-1]
+        padded[:new_h, :new_w] = (resized.astype(np.float32) - cfg.mean) / cfg.std
+
+    g = cfg.max_gt_boxes
+    out_boxes = np.zeros((g, 4), np.float32)
+    out_labels = np.zeros((g,), np.int32)
+    out_mask = np.zeros((g,), bool)
+    n = min(len(boxes), g)
+    if n:
+        out_boxes[:n] = boxes[:n]
+        out_labels[:n] = gt_labels[:n]
+        out_mask[:n] = True
+
+    return dict(
+        image=padded,
+        gt_boxes=out_boxes,
+        gt_labels=out_labels,
+        gt_mask=out_mask,
+        img_shape=np.array([new_h, new_w], np.float32),
+        scale_factor=np.float32(w_scale),
+        flipped=flipped,
+        bucket=bucket,
+    )
+
+
 def repeat_factors(
     labels_per_image: Sequence[np.ndarray],
     num_classes: int,

@@ -50,10 +50,19 @@ def _load() -> Optional[ctypes.CDLL]:
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i8p = ctypes.POINTER(ctypes.c_int8)
     i64p = ctypes.POINTER(ctypes.c_int64)
+    i32 = ctypes.c_int32
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    fp = ctypes.POINTER(ctypes.c_float)
     lib.box_iou_xywh.argtypes = [dp, i64, dp, i64, u8p, dp]
     lib.greedy_match.argtypes = [dp, i64, i64, dp, i64, i8p, dp, dp, i8p]
     lib.rle_decode.argtypes = [i64p, i64, i64, i64, u8p]
     lib.mask_iou.argtypes = [u8p, i64, u8p, i64, i64, u8p, dp]
+    lib.bags_jpeg_dims.argtypes = [u8p, i64, i32p, i32p]
+    lib.bags_jpeg_dims.restype = ctypes.c_int
+    lib.bags_preprocess_jpeg.argtypes = [
+        u8p, i64, i32, i32, i32, fp, fp, fp, i32, i32,
+    ]
+    lib.bags_preprocess_jpeg.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -113,6 +122,56 @@ def greedy_match(ious, iou_thrs, gt_ig):
         dt_ig.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
     )
     return dt_m, gt_m, dt_ig
+
+
+def jpeg_dims(data: bytes):
+    """(width, height) of a JPEG byte stream, or None if not decodable."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    w = ctypes.c_int32(0)
+    h = ctypes.c_int32(0)
+    rc = lib.bags_jpeg_dims(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        ctypes.byref(w), ctypes.byref(h),
+    )
+    if rc != 0:
+        return None
+    return int(w.value), int(h.value)
+
+
+def preprocess_jpeg(
+    data: bytes,
+    new_w: int,
+    new_h: int,
+    flip: bool,
+    mean: np.ndarray,
+    std: np.ndarray,
+    out: np.ndarray,  # (out_h, out_w, 3) f32, C-contiguous, pre-zeroed
+) -> bool:
+    """Decode + fused resize/flip/normalize into `out`'s top-left.
+
+    The whole pixel path runs in C++ with the GIL released (ctypes), so a
+    ThreadPoolExecutor parallelizes it across cores. Returns False if the
+    native library is missing or the stream isn't a decodable RGB/gray JPEG
+    (caller falls back to the cv2 path).
+    """
+    lib = _load()
+    if lib is None:
+        return False
+    assert out.dtype == np.float32 and out.flags["C_CONTIGUOUS"]
+    buf = np.frombuffer(data, np.uint8)
+    mean32 = np.ascontiguousarray(mean, np.float32)
+    std32 = np.ascontiguousarray(std, np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    rc = lib.bags_preprocess_jpeg(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        int(new_w), int(new_h), int(bool(flip)),
+        mean32.ctypes.data_as(fp), std32.ctypes.data_as(fp),
+        out.ctypes.data_as(fp), out.shape[0], out.shape[1],
+    )
+    return rc == 0
 
 
 def mask_iou_bitmaps(a: np.ndarray, b: np.ndarray, iscrowd=None) -> np.ndarray:

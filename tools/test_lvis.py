@@ -284,11 +284,21 @@ def main():
             records.extend(recs)
         batch_buf[bucket] = []
 
+    # raw pixels are only needed by the TTA passes (re-preprocess at other
+    # scales, unflip by original width); otherwise the native C++ pixel
+    # path (decode+resize+normalize, GIL-released) skips them entirely
+    need_raw = bool(args.flip_aug or args.aug_scales)
+    from balancedgroupsoftmax_tpu.data.pipeline import preprocess_image_file
+
     for idx in range(n):
-        img = cv2.cvtColor(cv2.imread(ds.image_path(idx)), cv2.COLOR_BGR2RGB)
-        s = preprocess_image(
-            img, np.zeros((0, 4), np.float32), np.zeros(0, np.int32), pcfg, False
-        )
+        empty_b = np.zeros((0, 4), np.float32)
+        empty_l = np.zeros(0, np.int32)
+        if need_raw:
+            img = cv2.cvtColor(cv2.imread(ds.image_path(idx)), cv2.COLOR_BGR2RGB)
+            s = preprocess_image(img, empty_b, empty_l, pcfg, False)
+        else:
+            img = None
+            s = preprocess_image_file(ds.image_path(idx), empty_b, empty_l, pcfg, False)
         bucket = s["bucket"]
         batch_buf[bucket].append((idx, s, img))
         if len(batch_buf[bucket]) == args.batch_size:

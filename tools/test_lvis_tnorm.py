@@ -104,8 +104,11 @@ def main():
             ann = ds.get_ann_info(idx)
             if len(ann["labels"]) == 0:
                 continue
-            img = cv2.cvtColor(cv2.imread(ds.image_path(idx)), cv2.COLOR_BGR2RGB)
-            s = preprocess_image(img, ann["bboxes"], ann["labels"], pcfg, False)
+            from balancedgroupsoftmax_tpu.data.pipeline import preprocess_image_file
+
+            s = preprocess_image_file(
+                ds.image_path(idx), ann["bboxes"], ann["labels"], pcfg, False
+            )
             if s["bucket"] != (800, 1344):
                 continue
             k = min(len(ann["labels"]), cap)

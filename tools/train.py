@@ -196,16 +196,17 @@ def main():
         repeat = repeat_factors(labels_per_img, len(ds.cat_ids))
     batcher = DetBatcher(flags, batch_size, seed=args.seed, repeat=repeat)
 
-    import cv2
+    from balancedgroupsoftmax_tpu.data.pipeline import preprocess_image_file
 
     with_masks = det_cfg.mask_head is not None
 
     def load_sample(idx, rng):
         info = ds.img_infos[idx]
-        img = cv2.imread(ds.image_path(idx))
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         ann = ds.get_ann_info(idx)
-        s = preprocess_image(img, ann["bboxes"], ann["labels"], pcfg, True, rng)
+        # native C++ decode+resize+normalize (GIL-released); cv2 fallback
+        s = preprocess_image_file(
+            ds.image_path(idx), ann["bboxes"], ann["labels"], pcfg, True, rng
+        )
         if with_masks:
             from balancedgroupsoftmax_tpu.ops.mask import rasterize_gt_masks
 
