@@ -107,5 +107,19 @@ def shard_train_step(train_step, mesh: Mesh, axis: str = "data"):
 
 
 def shard_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh, axis: str = "data"):
+    """Place a host batch on the mesh, sharded over `axis`.
+
+    Single process: a plain device_put of the global batch. Multi-host:
+    each process holds only its local shard (the DetBatcher per-process
+    slice), so the global array is assembled from process-local data —
+    the jax.sharding replacement for DistributedDataParallel's implicit
+    per-rank batches."""
     sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() > 1:
+        import numpy as np
+
+        return {
+            k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+            for k, v in batch.items()
+        }
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}

@@ -23,16 +23,48 @@ import numpy as np
 # --------------------------------------------------------------------------
 # orbax save / restore
 # --------------------------------------------------------------------------
-def save_checkpoint(path: str, state: Any, overwrite: bool = True) -> None:
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def save_checkpoint(path: str, state: Any, overwrite: bool = True, block: bool = True) -> None:
+    """Save a pytree checkpoint via orbax.
+
+    block=False returns as soon as the state is staged to host memory and
+    writes to disk in a background thread (orbax AsyncCheckpointer) — the
+    train loop keeps stepping during the write (the preemption-autosave
+    path). A later save or `wait_for_checkpoints()` joins the write;
+    orbax only commits the directory atomically on success, so a kill
+    mid-write never leaves a checkpoint that restores partially.
+    """
     import jax
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
-    # 0-d python/numpy scalars are not supported by orbax: lift to arrays
-    state = jax.tree_util.tree_map(np.asarray, state)
-    ckptr.save(path, state, force=overwrite)
-    ckptr.wait_until_finished()
+    ckptr = _async_checkpointer()
+    # 0-d python/numpy scalars are not supported by orbax: lift to arrays.
+    # For async saves np.array (copy) snapshots host arrays too — np.asarray
+    # would alias them and later in-place mutation (the next train step's
+    # donated buffers) could leak into the background write.
+    snap = np.array if not block else np.asarray
+    state = jax.tree_util.tree_map(snap, state)
+    ckptr.save(path, args=ocp.args.StandardSave(state), force=overwrite)
+    if block:
+        ckptr.wait_until_finished()
+
+
+def wait_for_checkpoints() -> None:
+    """Join any in-flight async checkpoint writes (call before exit)."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def restore_checkpoint(path: str, target: Any = None) -> Any:

@@ -122,6 +122,31 @@ def test_orbax_overwrite(tmp_path):
     np.testing.assert_allclose(restored["w"], 1.0)
 
 
+def test_orbax_async_save(tmp_path):
+    from balancedgroupsoftmax_tpu.utils.checkpoint import wait_for_checkpoints
+
+    path = str(tmp_path / "async")
+    state = {"w": np.full((4, 4), 3.0, np.float32)}
+    save_checkpoint(path, state, block=False)
+    # source mutated after save returns must not leak into the checkpoint
+    # (save snapshots to host before returning)
+    state["w"][:] = -1.0
+    wait_for_checkpoints()
+    restored = restore_checkpoint(path, {"w": np.zeros((4, 4), np.float32)})
+    np.testing.assert_allclose(restored["w"], 3.0)
+
+
+def test_orbax_async_overwrite_sequence(tmp_path):
+    from balancedgroupsoftmax_tpu.utils.checkpoint import wait_for_checkpoints
+
+    path = str(tmp_path / "auto")
+    for v in (1.0, 2.0, 3.0):  # back-to-back autosaves must serialize
+        save_checkpoint(path, {"w": np.full(3, v)}, block=False)
+    wait_for_checkpoints()
+    restored = restore_checkpoint(path, {"w": np.zeros(3)})
+    np.testing.assert_allclose(restored["w"], 3.0)
+
+
 def test_tau_norm_row_scaling():
     import sys
 

@@ -40,6 +40,9 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--limit", type=int, default=None, help="eval first N images")
     p.add_argument("--no-eval", action="store_true")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize; each host "
+                        "infers its image shard, results are allgathered")
     p.add_argument(
         "--flip-aug",
         action="store_true",
@@ -77,6 +80,10 @@ def main():
     from balancedgroupsoftmax_tpu import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.distributed:
+        from balancedgroupsoftmax_tpu.parallel.multihost import init_distributed
+
+        init_distributed()
 
     from balancedgroupsoftmax_tpu import zoo
     from balancedgroupsoftmax_tpu.data.lvis import LvisDataset
@@ -290,7 +297,14 @@ def main():
     need_raw = bool(args.flip_aug or args.aug_scales)
     from balancedgroupsoftmax_tpu.data.pipeline import preprocess_image_file
 
-    for idx in range(n):
+    # multi-host: each process infers its rank-strided shard (single
+    # process -> the full range), results are allgathered below
+    from balancedgroupsoftmax_tpu.parallel.multihost import (
+        gather_detection_records, host_shard,
+    )
+
+    for idx in host_shard(n):
+        idx = int(idx)
         empty_b = np.zeros((0, 4), np.float32)
         empty_l = np.zeros(0, np.int32)
         if need_raw:
@@ -310,6 +324,15 @@ def main():
 
     print(f"inference done: {n} images in {time.time() - t0:.1f}s "
           f"({n / (time.time() - t0):.2f} img/s)")
+
+    # multi-host: one allgather replaces the reference's tmpdir+pickle+
+    # broadcast collect_results (test_lvis.py:64-103); process 0 writes/evals
+    import jax as _jax
+
+    if _jax.process_count() > 1:
+        records = gather_detection_records(records)
+        if _jax.process_index() != 0:
+            return
 
     if args.out:
         with open(args.out, "w") as f:

@@ -63,6 +63,10 @@ def parse_args():
                         "(DistEvalHook equivalent)")
     p.add_argument("--val-img-prefix", default=None)
     p.add_argument("--val-limit", type=int, default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize; the batcher "
+                        "shards batches by process, the jitted step reduces "
+                        "gradients over the global mesh")
     return p.parse_args()
 
 
@@ -71,6 +75,10 @@ def main():
     from balancedgroupsoftmax_tpu import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.distributed:
+        from balancedgroupsoftmax_tpu.parallel.multihost import init_distributed
+
+        init_distributed()
     os.makedirs(args.work_dir, exist_ok=True)
 
     from balancedgroupsoftmax_tpu import zoo
@@ -194,7 +202,18 @@ def main():
     if args.use_rfs:
         labels_per_img = [ds.get_ann_info(i)["labels"] for i in range(len(ds))]
         repeat = repeat_factors(labels_per_img, len(ds.cat_ids))
-    batcher = DetBatcher(flags, batch_size, seed=args.seed, repeat=repeat)
+    import jax as _jax
+
+    # each host batches its shard of the epoch permutation; the per-host
+    # batch is the global batch divided across processes (single process:
+    # the identity)
+    assert batch_size % _jax.process_count() == 0, (
+        f"global batch {batch_size} must divide process count"
+    )
+    batcher = DetBatcher(
+        flags, batch_size // _jax.process_count(), seed=args.seed, repeat=repeat,
+        shard_id=_jax.process_index(), num_shards=_jax.process_count(),
+    )
 
     from balancedgroupsoftmax_tpu.data.pipeline import preprocess_image_file
 
@@ -261,12 +280,16 @@ def main():
             state, metrics = step_fn(state, batch, key)
             global_step += 1
             if args.autosave_steps and global_step % args.autosave_steps == 0:
+                # async: staged to host here, written by a background
+                # thread while training continues (orbax commits the dir
+                # atomically, so a preemption mid-write can't corrupt it)
                 save_checkpoint(
                     os.path.join(args.work_dir, "autosave"),
                     jax.device_get(
                         dict(params=state.params, batch_stats=state.batch_stats,
                              step=np.asarray(int(state.step)))
                     ),
+                    block=False,
                 )
             if global_step % args.log_interval == 0:
                 m = {k: float(jax.device_get(v)) for k, v in metrics.items()}
@@ -289,9 +312,12 @@ def main():
         save_checkpoint(ckpt, jax.device_get(
             dict(params=state.params, batch_stats=state.batch_stats,
                  step=np.asarray(int(state.step)))
-        ))
+        ), block=False)
         print(f"saved {ckpt}")
         if args.val_ann:
+            from balancedgroupsoftmax_tpu.utils.checkpoint import wait_for_checkpoints
+
+            wait_for_checkpoints()  # eval subprocess reads this checkpoint
             # epoch-end evaluation (DistEvalHook equivalent): run the eval
             # CLI on the fresh checkpoint
             import subprocess
@@ -310,6 +336,10 @@ def main():
             subprocess.run(cmd, check=False)
         if args.max_steps and global_step >= args.max_steps:
             break
+
+    from balancedgroupsoftmax_tpu.utils.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()  # join in-flight async writes before exiting
 
 
 if __name__ == "__main__":
