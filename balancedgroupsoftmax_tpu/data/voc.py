@@ -66,7 +66,10 @@ class VOCDataset:
         return os.path.join(self.root, self.img_infos[idx]["filename"])
 
     def get_ann_info(self, idx: int) -> Dict:
-        tree = ET.parse(self.img_infos[idx]["xml"])
+        return self._parse_xml(self.img_infos[idx]["xml"])
+
+    def _parse_xml(self, xml_path: str) -> Dict:
+        tree = ET.parse(xml_path)
         bboxes, labels, ignore = [], [], []
         for obj in tree.findall("object"):
             name = obj.find("name").text
@@ -92,3 +95,49 @@ class VOCDataset:
             bboxes_ignore=np.asarray(ignore, np.float32).reshape(-1, 4),
             masks=[None] * len(labels),
         )
+
+
+class WIDERFaceDataset(VOCDataset):
+    """WIDER Face in PASCAL-VOC XML layout.
+
+    Parity: /root/reference/mmdet/datasets/wider_face.py — the annotation
+    file is a plain list of image ids (one per line, no ImageSets/ tree);
+    each XML carries a `folder` element naming the event subdirectory the
+    .jpg lives under; single class 'face'. Box parsing (1-based coords,
+    `difficult` -> ignore) is inherited from the VOC reader.
+    """
+
+    def __init__(
+        self,
+        root: str,  # prefix holding Annotations/ and the event folders
+        ann_file: str,  # text file of image ids
+        min_size: int = 0,
+        test_mode: bool = False,
+    ):
+        self.root = root
+        self.classes = ("face",)
+        self.cat2label = {"face": 1}
+        self.cat_ids = [1]
+
+        with open(ann_file) as f:
+            ids = [line.strip() for line in f if line.strip()]
+
+        self.img_infos = []
+        for img_id in ids:
+            xml_path = os.path.join(root, "Annotations", f"{img_id}.xml")
+            tree = ET.parse(xml_path)
+            size = tree.find("size")
+            w = int(size.find("width").text)
+            h = int(size.find("height").text)
+            if not test_mode and min_size and min(w, h) < min_size:
+                continue
+            folder = tree.find("folder").text
+            self.img_infos.append(
+                dict(
+                    id=img_id,
+                    filename=os.path.join(folder, f"{img_id}.jpg"),
+                    width=w,
+                    height=h,
+                    xml=xml_path,
+                )
+            )

@@ -39,3 +39,28 @@ def test_voc_dataset(tmp_path):
     assert ds.image_path(0).endswith("JPEGImages/000001.jpg")
     ann2 = VOCDataset(root).get_ann_info(1)
     assert ann2["labels"][0] == 8  # cat
+
+
+def test_wider_face_dataset(tmp_path):
+    from balancedgroupsoftmax_tpu.data.voc import WIDERFaceDataset
+
+    root = tmp_path / "WIDER"
+    (root / "Annotations").mkdir(parents=True)
+    xml = """<annotation>
+  <folder>0--Parade</folder>
+  <size><width>1024</width><height>768</height><depth>3</depth></size>
+  <object><name>face</name><difficult>0</difficult>
+    <bndbox><xmin>101</xmin><ymin>201</ymin><xmax>151</xmax><ymax>251</ymax></bndbox>
+  </object>
+</annotation>"""
+    (root / "Annotations" / "img_1.xml").write_text(xml)
+    ann_file = root / "train.txt"
+    ann_file.write_text("img_1\n")
+
+    ds = WIDERFaceDataset(str(root), str(ann_file))
+    assert len(ds) == 1
+    assert ds.image_path(0).endswith(os.path.join("0--Parade", "img_1.jpg"))
+    assert ds.img_infos[0]["width"] == 1024
+    ann = ds.get_ann_info(0)
+    np.testing.assert_allclose(ann["bboxes"][0], [100, 200, 150, 250])
+    assert ann["labels"][0] == 1
