@@ -49,11 +49,13 @@ def _nms_block_kernel(iou_thr, x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_r
 
     row = jax.lax.broadcasted_iota(jnp.int32, (blk, k, k), 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (blk, k, k), 2)
+    # bf16 0/1 adjacency: exact, halves the resident workspace, and feeds
+    # the MXU natively for the fixpoint matvecs below
     adj = (
-        (iou > iou_thr).astype(jnp.float32)
-        * (row < col).astype(jnp.float32)  # higher-scored suppresses later
-        * vf[:, :, None]
-        * vf[:, None, :]
+        (iou > iou_thr).astype(jnp.bfloat16)
+        * (row < col).astype(jnp.bfloat16)  # higher-scored suppresses later
+        * vf[:, :, None].astype(jnp.bfloat16)
+        * vf[:, None, :].astype(jnp.bfloat16)
     )
 
     def cond(state):
@@ -62,9 +64,16 @@ def _nms_block_kernel(iou_thr, x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_r
 
     def body(state):
         keep, _ = state
-        # suppressed[j] = any_i keep[i] & adj[i, j]
-        suppressed = jnp.max(keep[:, :, None] * adj, axis=1)
-        new_keep = jnp.where(suppressed > 0.0, 0.0, vf)
+        # suppressed[j] = sum_i keep[i] * adj[i, j] >= 1 — a batched
+        # (1,K)x(K,K) matvec on the MXU instead of a VPU masked-max sweep
+        # (exact: 0/1 bf16 operands, f32 accumulation)
+        sup = jax.lax.dot_general(
+            keep[:, None, :].astype(jnp.bfloat16),
+            adj,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, 0, :]
+        new_keep = jnp.where(sup > 0.5, 0.0, vf)
         return new_keep, jnp.any(new_keep != keep)
 
     keep, _ = jax.lax.while_loop(cond, body, (vf, jnp.asarray(True)))
@@ -247,8 +256,9 @@ def nms_keep_batched(
 ) -> jnp.ndarray:
     g, k = valid.shape
     kp = -(-k // 128) * 128  # lane-align K
-    # fit the (block, K, K) iou+adj workspace in scoped VMEM (~8MB budget)
-    block = max(1, min(block, int(8e6 // (kp * kp * 8))))
+    # fit the (block, K, K) f32 iou + bf16 adj workspace (~6B/elem) in
+    # scoped VMEM (~10MB budget)
+    block = max(1, min(block, int(10e6 // (kp * kp * 6))))
     gp = -(-g // block) * block
     coords = []
     for i in range(4):
