@@ -40,7 +40,19 @@ from ..ops.roi_align import map_roi_levels
 WIN_H = 32  # short-axis window cells
 WIN_W = 80  # long-axis window cells (full; covers aspect ratios to ~8)
 WIN_W_LO = 40  # first width half: covers the common aspect range alone
-ROIS_PER_BLOCK = 4  # rois per grid step (amortizes per-program overhead)
+ROIS_PER_BLOCK = 8  # rois per grid step for out_size<=7 (see _rois_per_block)
+
+
+def _rois_per_block(out_size: int, itemsize: int) -> int:
+    """Rois per grid step. More rois per block = more DMAs in flight (the
+    kernel is DMA-bound; 4->8 outstanding windows measured 52.6->46.3 ms at
+    B16/R1000, 8->10 another ~1% — not worth the VMEM). The window scratch
+    is rb * WIN_H * WIN_W * C * itemsize (~10.4MB at rb=8/bf16/C=256), so
+    f32 pyramids (the train-time path) and the mask branch (out_size 14,
+    4x the f32 output block) each halve rb to stay inside the ~16MB VMEM
+    scoped budget."""
+    rb = ROIS_PER_BLOCK if itemsize <= 2 else ROIS_PER_BLOCK // 2
+    return rb if out_size <= 7 else max(rb // 2, 2)
 
 
 def _kernel(
@@ -63,10 +75,12 @@ def _kernel(
     out_ref,
     win_lo,
     win_hi,
+    hi_sc,
     sem,
     *,
     out_size: int,
     sample_num: int,
+    rb: int,
 ):
     blk = pl.program_id(0)
 
@@ -99,18 +113,18 @@ def _kernel(
         )
         return lo, hi, wide_ref[ri] > 0
 
-    # issue all ROIS_PER_BLOCK window DMAs up front (the DMA engine
-    # pipelines them; compute of roi j overlaps the later transfers)
-    for j in range(ROIS_PER_BLOCK):
-        lo, hi, wide = window_dma(blk * ROIS_PER_BLOCK + j, j)
+    # issue all rb window DMAs up front (the DMA engine pipelines them;
+    # compute of roi j overlaps the later transfers)
+    for j in range(rb):
+        lo, hi, wide = window_dma(blk * rb + j, j)
         lo.start()
 
         @pl.when(wide)
         def _(hi=hi):
             hi.start()
 
-    for j in range(ROIS_PER_BLOCK):
-        r = blk * ROIS_PER_BLOCK + j
+    for j in range(rb):
+        r = blk * rb + j
         lo, hi, wide = window_dma(r, j)
         lo.wait()
 
@@ -121,14 +135,14 @@ def _kernel(
         _compute_one_roi(
             r, j, img_ref, y0l_ref, x0_ref, sh_ref, sw_ref, bh_ref,
             bw_ref, hl_ref, wl_ref, por_ref, wide_ref, win_lo, win_hi,
-            out_ref, out_size, sample_num,
+            hi_sc, out_ref, out_size, sample_num,
         )
 
 
 def _compute_one_roi(
     r, j, img_ref, y0_ref, x0_ref, sh_ref, sw_ref, bh_ref, bw_ref,
-    hl_ref, wl_ref, por_ref, wide_ref, win_lo, win_hi, out_ref, out_size,
-    sample_num,
+    hl_ref, wl_ref, por_ref, wide_ref, win_lo, win_hi, hi_sc, out_ref,
+    out_size, sample_num,
 ):
     start_h = sh_ref[r]
     start_w = sw_ref[r]
@@ -195,10 +209,22 @@ def _compute_one_roi(
         )  # (j, i, c): x-bin, y-bin, C in the ORIENTED frame
 
     out = half(wlo, wx[:, :WIN_W_LO], WIN_W_LO)
-    # The hi half is stale (possibly NaN) scratch for narrow rois: select
-    # its contribution with where (0-weight * NaN would still be NaN).
-    hi_term = half(win_hi[j][...], wx[:, WIN_W_LO:], WIN_W - WIN_W_LO)
-    out = out + jnp.where(wide_ref[r] > 0, hi_term, 0.0)
+    # The hi half is stale (possibly NaN) scratch for narrow rois — AND
+    # streaming its 0.65MB through the MXU dominates the roi's compute, so
+    # narrow rois skip the matmuls entirely (not just mask the result):
+    # the hi term goes through a small scratch that the narrow branch
+    # zero-fills instead (a 50KB VPU store vs an MXU stream).
+    wide = wide_ref[r] > 0
+
+    @pl.when(wide)
+    def _():
+        hi_sc[...] = half(win_hi[j][...], wx[:, WIN_W_LO:], WIN_W - WIN_W_LO)
+
+    @pl.when(jnp.logical_not(wide))
+    def _():
+        hi_sc[...] = jnp.zeros_like(hi_sc)
+
+    out = out + hi_sc[...]
 
     # un-orient: landscape needs (y, x); portrait frame's (x, y) is the
     # original (y, x) already
@@ -293,7 +319,7 @@ def _forward(
     y0_local = y0
     y0 = y0 + jnp.asarray(row_off)[src]
 
-    rb = ROIS_PER_BLOCK
+    rb = _rois_per_block(out_size, jnp.dtype(feats[0].dtype).itemsize)
     n_rois = b * r
     n_pad = (-n_rois) % rb
     if n_pad:
@@ -313,11 +339,12 @@ def _forward(
         scratch_shapes=[
             pltpu.VMEM((rb, WIN_H, WIN_W_LO, c), feats[0].dtype),
             pltpu.VMEM((rb, WIN_H, WIN_W - WIN_W_LO, c), feats[0].dtype),
+            pltpu.VMEM((out_size, out_size, c), jnp.float32),
             pltpu.SemaphoreType.DMA((rb, 2)),
         ],
     )
     samples = pl.pallas_call(
-        functools.partial(_kernel, out_size=out_size, sample_num=sample_num),
+        functools.partial(_kernel, out_size=out_size, sample_num=sample_num, rb=rb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_rois + n_pad, out_size, out_size, c), jnp.float32
