@@ -137,6 +137,61 @@ def batched_multiclass_nms(
         num_fg = cap
 
     top_scores, top_idx = jax.lax.top_k(masked, k)  # (B, num_fg, K)
+    cand_valid = jnp.isfinite(top_scores)
+
+    if nms_type != "soft_nms" and pallas_enabled():
+        # Candidate selection through the one-hot-matmul gather kernel:
+        # XLA's gather costs ~19.5 ms at the LVIS shape (1.8M 4-element
+        # rows, any layout) vs ~1 ms of well-tiled transpose/row-gather +
+        # the MXU selection (pallas/gather.py). Boxes are kept as
+        # coordinate planes end-to-end; only the final max_per_img
+        # winners are assembled as (M, 4) rows.
+        from .pallas.gather import gather_lanes_matmul
+        from .pallas.nms import nms_keep_batched_coords
+
+        if class_specific:
+            pc = jnp.transpose(boxes.reshape(b, n, c, 4), (0, 2, 3, 1))
+            cls_take = (
+                sel_cls
+                if sel_cls is not None
+                else jnp.arange(num_fg, dtype=jnp.int32)[None, :].repeat(b, 0)
+            ) + 1  # fg slot -> class index (bg is class 0)
+            sel_pl = jnp.take_along_axis(
+                pc, cls_take[..., None, None], axis=1
+            )  # (B, num_fg, 4, N)
+            cand4 = gather_lanes_matmul(
+                sel_pl.reshape(b * num_fg, 4, n),
+                top_idx.reshape(b * num_fg, k),
+            ).reshape(b, num_fg, 4, k)
+        else:
+            planes = jnp.swapaxes(boxes, 1, 2)  # (B, 4, N), shared per class
+            cand4 = gather_lanes_matmul(
+                planes,
+                top_idx.reshape(b * num_fg, k),
+                groups_per_plane=num_fg,
+            ).reshape(b, num_fg, 4, k)
+        keep = nms_keep_batched_coords(
+            cand4.reshape(b * num_fg, 4, k),
+            cand_valid.reshape(b * num_fg, k),
+            iou_thr,
+        ).reshape(b, num_fg, k)
+        cand_scores = jnp.where(keep & cand_valid, top_scores, -jnp.inf).reshape(b, -1)
+        out_scores, flat_idx = jax.lax.top_k(cand_scores, max_per_img)  # (B, M)
+        det_valid = jnp.isfinite(out_scores)
+        cls_idx = (flat_idx // k).astype(jnp.int32)
+        slot_idx = flat_idx % k
+        det_boxes = jax.vmap(
+            lambda c4, ci, si: c4[ci, :, si]
+        )(cand4, cls_idx, slot_idx)  # (B, M, 4)
+        if sel_cls is not None:  # map capped class slots back to real labels
+            cls_idx = jnp.take_along_axis(sel_cls, cls_idx, axis=1).astype(jnp.int32)
+        return (
+            det_boxes,
+            jnp.where(det_valid, out_scores, 0.0),
+            cls_idx,
+            det_valid,
+        )
+
     if class_specific:
         per_class = jnp.swapaxes(boxes.reshape(b, n, c, 4)[..., 1:, :], 1, 2)
         if sel_cls is not None:
@@ -148,7 +203,6 @@ def batched_multiclass_nms(
         cand_boxes = jax.vmap(lambda bx, ix: bx[ix])(
             boxes, top_idx.reshape(b, -1)
         ).reshape(b, num_fg, k, 4)
-    cand_valid = jnp.isfinite(top_scores)
 
     if nms_type == "soft_nms":
         from .ops.nms import soft_nms
@@ -165,14 +219,6 @@ def batched_multiclass_nms(
         top_scores = ss.reshape(b, num_fg, k)
         keep = sv.reshape(b, num_fg, k)
         cand_valid = keep
-    elif pallas_enabled():
-        from .pallas.nms import nms_keep_batched
-
-        keep = nms_keep_batched(
-            cand_boxes.reshape(b * num_fg, k, 4),
-            cand_valid.reshape(b * num_fg, k),
-            iou_thr,
-        ).reshape(b, num_fg, k)
     else:
         from .ops.nms import nms_keep
 

@@ -246,27 +246,18 @@ def nms_keep_tiled(
     return keep[:, 0, :k] > 0.5
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thr", "block", "interpret"))
-def nms_keep_batched(
-    boxes: jnp.ndarray,  # (G, K, 4) f32, score-descending rows
-    valid: jnp.ndarray,  # (G, K) bool
-    iou_thr: float,
-    block: int = 8,
-    interpret: bool = False,
-) -> jnp.ndarray:
+def _keep_from_coords(coords, valid, iou_thr, block, interpret):
+    """Shared tail: coords is a list of four (G, K) f32 arrays."""
     g, k = valid.shape
     kp = -(-k // 128) * 128  # lane-align K
     # fit the (block, K, K) f32 iou + bf16 adj workspace (~6B/elem) in
     # scoped VMEM (~10MB budget)
     block = max(1, min(block, int(10e6 // (kp * kp * 6))))
     gp = -(-g // block) * block
-    coords = []
-    for i in range(4):
-        coords.append(
-            jnp.zeros((gp, 1, kp), jnp.float32).at[:g, 0, :k].set(
-                boxes[..., i].astype(jnp.float32)
-            )
-        )
+    coords_p = [
+        jnp.zeros((gp, 1, kp), jnp.float32).at[:g, 0, :k].set(c)
+        for c in coords
+    ]
     valid_p = jnp.zeros((gp, 1, kp), jnp.int32).at[:g, 0, :k].set(
         valid.astype(jnp.int32)
     )
@@ -280,5 +271,33 @@ def nms_keep_batched(
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((gp, 1, kp), jnp.int32),
         interpret=interpret,
-    )(*coords, valid_p)
+    )(*coords_p, valid_p)
     return keep[:g, 0, :k] > 0
+
+
+@functools.partial(jax.jit, static_argnames=("iou_thr", "block", "interpret"))
+def nms_keep_batched(
+    boxes: jnp.ndarray,  # (G, K, 4) f32, score-descending rows
+    valid: jnp.ndarray,  # (G, K) bool
+    iou_thr: float,
+    block: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    coords = [boxes[..., i].astype(jnp.float32) for i in range(4)]
+    return _keep_from_coords(coords, valid, iou_thr, block, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("iou_thr", "block", "interpret"))
+def nms_keep_batched_coords(
+    coords: jnp.ndarray,  # (G, 4, K) f32 [x1 y1 x2 y2] rows, score-desc cols
+    valid: jnp.ndarray,  # (G, K) bool
+    iou_thr: float,
+    block: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """nms_keep_batched for coordinate-plane input ((G,4,K) instead of
+    (G,K,4)) — the layout the pallas gather kernel produces; slicing rows
+    here is a well-tiled read where boxes[..., i] on a minor-dim-4 array
+    is a 32x-lane-waste one."""
+    cs = [coords[:, i, :].astype(jnp.float32) for i in range(4)]
+    return _keep_from_coords(cs, valid, iou_thr, block, interpret)
