@@ -100,7 +100,7 @@ def batched_multiclass_nms(
     nms_type: str = "nms",
     soft_sigma: float = 0.5,
     soft_min_score: float = 1e-3,
-    class_cap: int = 384,
+    class_cap: int = 0,  # 0 = auto: exactly max_per_img (the exact minimum)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched per-class NMS + global top-k (ops/nms.multiclass_nms
     semantics over a leading batch dim). The per-class keep computation is

@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.roi_align import map_roi_levels
 
 WIN_H = 32  # short-axis window cells
+HALF_H = WIN_H // 2  # row-half DMA granularity (short rois skip the bottom)
 WIN_W = 80  # long-axis window cells (full; covers aspect ratios to ~8)
 WIN_W_LO = 40  # first width half: covers the common aspect range alone
 ROIS_PER_BLOCK = 8  # rois per grid step for out_size<=7 (see _rois_per_block)
@@ -69,6 +70,7 @@ def _kernel(
     wl_ref,  # (R,) f32 level W
     por_ref,  # (R,) i32 portrait flag
     wide_ref,  # (R,) i32: roi needs window columns beyond WIN_W_LO
+    tall_ref,  # (R,) i32: roi needs window rows beyond HALF_H
     y0l_ref,  # (R,) i32 window origin row in LEVEL coordinates (interp origin)
     # input (HBM): the stacked (B, sum_sections_H, max_W, C) pyramid
     f,
@@ -84,53 +86,69 @@ def _kernel(
 ):
     blk = pl.program_id(0)
 
+    # The interp weights of a roi are zero on window rows/cols its samples
+    # never touch, so quadrants skipped below may hold STALE data — but a
+    # zero weight only cancels FINITE stale values (0 * NaN = NaN). One
+    # zero-fill on the first block makes every future stale read finite.
+    @pl.when(blk == 0)
+    def _():
+        win_lo[...] = jnp.zeros_like(win_lo)
+        win_hi[...] = jnp.zeros_like(win_hi)
+
     def window_dma(ri, slot):
         """The (identical) DMA descriptors for roi ri into buffer `slot` —
-        reconstructed at start and wait sites. The window is transferred in
-        two width halves into two CONTIGUOUS scratch buffers (a partial-
-        width destination inside one wide buffer degrades to per-row
-        descriptors); the second half moves only for wide-aspect rois,
-        halving HBM traffic for the common case. y0 already carries the
+        reconstructed at start and wait sites. The window moves in up to
+        four quadrants (two width halves x two row halves) into CONTIGUOUS
+        scratch regions (a partial-width destination inside one wide
+        buffer degrades to per-row descriptors): the hi width half only
+        for wide-aspect rois, the bottom row half only for tall windows —
+        most rois (small objects routed to their FPN level) touch only the
+        top-left quadrant, quartering HBM traffic. y0 already carries the
         roi's (level, orientation) section row offset, so the transfer
         source is data-independent — no conditional buffer dispatch."""
         img = img_ref[ri]
         y0 = y0_ref[ri]
         x0 = x0_ref[ri]
-        lo = pltpu.make_async_copy(
-            f.at[img, pl.ds(y0, WIN_H), pl.ds(pl.multiple_of(x0, 8), WIN_W_LO), :],
-            win_lo.at[slot],
-            sem.at[slot, 0],
-        )
-        hi = pltpu.make_async_copy(
-            f.at[
-                img,
-                pl.ds(y0, WIN_H),
-                pl.ds(pl.multiple_of(x0 + WIN_W_LO, 8), WIN_W - WIN_W_LO),
-                :,
-            ],
-            win_hi.at[slot],
-            sem.at[slot, 1],
-        )
-        return lo, hi, wide_ref[ri] > 0
+        x0lo = pl.multiple_of(x0, 8)
+        x0hi = pl.multiple_of(x0 + WIN_W_LO, 8)
+
+        def quad(x0q, w, dst, rows0, sem_slot):
+            return pltpu.make_async_copy(
+                f.at[img, pl.ds(y0 + rows0, HALF_H), pl.ds(x0q, w), :],
+                dst.at[slot, pl.ds(rows0, HALF_H)],
+                sem.at[slot, sem_slot],
+            )
+
+        lo_t = quad(x0lo, WIN_W_LO, win_lo, 0, 0)
+        lo_b = quad(x0lo, WIN_W_LO, win_lo, HALF_H, 1)
+        hi_t = quad(x0hi, WIN_W - WIN_W_LO, win_hi, 0, 2)
+        hi_b = quad(x0hi, WIN_W - WIN_W_LO, win_hi, HALF_H, 3)
+        return (lo_t, lo_b, hi_t, hi_b), wide_ref[ri] > 0, tall_ref[ri] > 0
 
     # issue all rb window DMAs up front (the DMA engine pipelines them;
     # compute of roi j overlaps the later transfers)
-    for j in range(rb):
-        lo, hi, wide = window_dma(blk * rb + j, j)
-        lo.start()
+    def for_each_dma(ri, slot, op):
+        (lo_t, lo_b, hi_t, hi_b), wide, tall = window_dma(ri, slot)
+        op(lo_t)
+
+        @pl.when(tall)
+        def _(lo_b=lo_b):
+            op(lo_b)
 
         @pl.when(wide)
-        def _(hi=hi):
-            hi.start()
+        def _(hi_t=hi_t):
+            op(hi_t)
+
+        @pl.when(wide & tall)
+        def _(hi_b=hi_b):
+            op(hi_b)
+
+    for j in range(rb):
+        for_each_dma(blk * rb + j, j, lambda d: d.start())
 
     for j in range(rb):
         r = blk * rb + j
-        lo, hi, wide = window_dma(r, j)
-        lo.wait()
-
-        @pl.when(wide)
-        def _(hi=hi):
-            hi.wait()
+        for_each_dma(r, j, lambda d: d.wait())
 
         _compute_one_roi(
             r, j, img_ref, y0l_ref, x0_ref, sh_ref, sw_ref, bh_ref,
@@ -191,6 +209,14 @@ def _compute_one_roi(
     c = wlo.shape[-1]
     wdt = wlo.dtype
 
+    # f32 windows (the train-time path) must not silently drop to the
+    # MXU's default single-pass bf16 f32-matmul lowering — that costs ~1%
+    # relative error on the pooled features; bf16 windows (inference) are
+    # unaffected by the precision request.
+    prec = (
+        jax.lax.Precision.HIGHEST if wdt == jnp.float32 else None
+    )
+
     def half(win, wx_part, win_w):
         # tmp[i, w, c] = sum_h wy[i, h] * win[h, w, c] — matmul in the
         # window's dtype (bf16 MXU at full rate), f32 accumulation; H is
@@ -202,10 +228,12 @@ def _compute_one_roi(
             win.reshape(WIN_H, win_w * c),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=prec,
         ).reshape(out_size, win_w, c)
         return jax.lax.dot_general(
             wx_part, tmp, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=prec,
         )  # (j, i, c): x-bin, y-bin, C in the ORIENTED frame
 
     out = half(wlo, wx[:, :WIN_W_LO], WIN_W_LO)
@@ -296,6 +324,9 @@ def _forward(
     # max sampled x = start + bin*(os-0.5)/1 -> high cell <= floor(start+span)+1
     end_cell = jnp.floor(o_start_w + o_bin_w * out_size).astype(jnp.int32) + 1
     wide = (end_cell - x0) >= WIN_W_LO
+    # same for the bottom row half; includes the edge-clamp case, where the
+    # interp collapse writes weight at row size_l-1 - y0 <= end_cell_h - y0
+    end_cell_h = jnp.floor(o_start_h + o_bin_h * out_size).astype(jnp.int32) + 1
 
     # Stack all (level, orientation) sections into ONE HBM buffer, padded
     # to a uniform width: the kernel then needs no data-dependent buffer
@@ -317,6 +348,7 @@ def _forward(
     row_off = np.cumsum([0] + [f.shape[1] for f in sections[:-1]]).astype(np.int32)
     stacked = jnp.concatenate(sections, axis=1)
     y0_local = y0
+    tall = (end_cell_h - y0_local) >= HALF_H
     y0 = y0 + jnp.asarray(row_off)[src]
 
     rb = _rois_per_block(out_size, jnp.dtype(feats[0].dtype).itemsize)
@@ -328,7 +360,7 @@ def _forward(
         pad1 = lambda a: a
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=12,
+        num_scalar_prefetch=13,
         grid=((n_rois + n_pad) // rb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -340,7 +372,7 @@ def _forward(
             pltpu.VMEM((rb, WIN_H, WIN_W_LO, c), feats[0].dtype),
             pltpu.VMEM((rb, WIN_H, WIN_W - WIN_W_LO, c), feats[0].dtype),
             pltpu.VMEM((out_size, out_size, c), jnp.float32),
-            pltpu.SemaphoreType.DMA((rb, 2)),
+            pltpu.SemaphoreType.DMA((rb, 4)),
         ],
     )
     samples = pl.pallas_call(
@@ -362,6 +394,7 @@ def _forward(
         pad1(o_w),
         pad1(portrait.astype(jnp.int32)),
         pad1(wide.astype(jnp.int32)),
+        pad1(tall.astype(jnp.int32)),
         pad1(y0_local.astype(jnp.int32)),
         stacked,
     )[:n_rois]

@@ -40,7 +40,7 @@ class TrainState:
     batch_stats: Any  # frozen BN statistics (never updated; norm_eval=True)
 
 
-def create_train_state(variables, tx) -> Tuple[TrainState, optax.GradientTransformation]:
+def create_train_state(variables, tx) -> TrainState:
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -28,6 +28,8 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--trace-dir", default=None, help="enable jax.profiler trace")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    p.add_argument("--remat", action="store_true")
     args = p.parse_args()
 
     from balancedgroupsoftmax_tpu import zoo
@@ -39,12 +41,18 @@ def main():
         "gs_faster_rcnn_r50": zoo.gs_faster_rcnn_r50_fpn_lvis,
     }
     det_cfg, train_cfg = builders[args.model]()
+    if args.remat:
+        import dataclasses
+        det_cfg = dataclasses.replace(
+            det_cfg,
+            backbone=dataclasses.replace(det_cfg.backbone, remat=True),
+        )
     partition = (
         synthetic_partition(det_cfg.bbox_head.num_classes)
         if det_cfg.bbox_head.use_gs
         else None
     )
-    model = build_detector(det_cfg, partition=partition, dtype=jnp.bfloat16)
+    model = build_detector(det_cfg, partition=partition, dtype=jnp.dtype(args.dtype))
     h, w = det_cfg.image_size
     b = args.batch
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)))
