@@ -77,3 +77,30 @@ def merge_aug_masks(
         m[..., ::-1] if fl else m for m, fl in zip(aug_masks, flips)
     ]
     return sum(np.asarray(f, np.float64) for f in fixed) / len(fixed)
+
+
+def flip_image_content(images_np: np.ndarray, shapes_np: np.ndarray) -> np.ndarray:
+    """Flip each image's CONTENT region, not the padded canvas.
+
+    The reference applies RandomFlip BEFORE Pad
+    (datasets/pipelines/transforms.py:171,223): content stays at the
+    origin. Flipping the whole padded canvas would shift content right by
+    the pad width (e.g. 277 px for a 1067-wide image in the 1344 bucket)
+    while box clipping still assumes the origin."""
+    out = np.array(images_np)
+    for i in range(len(out)):
+        w = int(round(float(shapes_np[i][1])))
+        out[i, :, :w] = out[i, :, :w][:, ::-1]
+    return out
+
+
+def unflip_boxes(boxes: np.ndarray, new_w: float, sf: float) -> np.ndarray:
+    """Map boxes from a content-flipped pass back to the original frame:
+    bbox_flip at network scale (the -1 convention on the resized content
+    width new_w), then rescale — bbox_mapping_back semantics
+    (core/bbox/transforms.py:114-148)."""
+    fb = boxes.copy()
+    x1 = fb[..., 0].copy()
+    fb[..., 0] = (new_w - 1.0) / sf - fb[..., 2]
+    fb[..., 2] = (new_w - 1.0) / sf - x1
+    return fb

@@ -340,6 +340,67 @@ class FasterRCNN(nn.Module):
         )
         return Detections(boxes=db, scores=ds, labels=dl, valid=dv)
 
+    def propose(
+        self,
+        images: jnp.ndarray,  # (B, H, W, 3)
+        img_shapes: jnp.ndarray,  # (B, 2)
+    ):
+        """RPN proposals for one test view, in the VIEW frame.
+
+        The per-view step of the reference's aug_test_rpn
+        (test_mixins.py:21-36); the caller maps boxes back to the original
+        frame and merges across views (merge_augs.py:8-45)."""
+        feats = self.extract_feats(images)
+        rpn_outs = self.rpn_head(feats)
+        anchors = self._anchors()
+        return rpn_proposals_batched(
+            rpn_outs, anchors, img_shapes, self.cfg.rpn_proposal_test
+        )
+
+    def rescore(
+        self,
+        images: jnp.ndarray,  # (B, H, W, 3) one test view
+        rois: jnp.ndarray,  # (B, P, 4) shared proposals mapped into this view
+        img_shapes: jnp.ndarray,  # (B, 2) view content shape
+    ):
+        """Score a FIXED proposal set against this view's features.
+
+        The inner loop of the reference's aug_test_bboxes
+        (test_mixins.py:139-165): pool the shared merged proposals on this
+        view, run the bbox head, decode per-class boxes in the VIEW frame
+        (rescale=False — the caller maps back and averages across views,
+        merge_augs.py:46-70). Returns (boxes (B, P, C*4), scores (B, P, C)).
+        """
+        c = self.cfg
+        feats = self.extract_feats(images)
+        pooled = batched_multilevel_roi_align(
+            feats[: len(c.roi_extractor.featmap_strides)],
+            rois,
+            c.roi_extractor.featmap_strides,
+            c.roi_extractor.out_size,
+            c.roi_extractor.sample_num,
+            c.roi_extractor.finest_scale,
+        )
+        cls_logits, bbox_deltas = self.bbox_head(pooled)
+        if c.bbox_head.use_gs:
+            scores = jax.vmap(lambda lg: gs_merge_scores(lg, self.partition))(
+                cls_logits
+            )
+        else:
+            scores = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
+
+        def decode(r, d, shape):
+            return delta2bbox(
+                r,
+                d.astype(jnp.float32),
+                c.bbox_head.target_means,
+                c.bbox_head.target_stds,
+                max_shape=(shape[0], shape[1]),
+            )
+
+        boxes = jax.vmap(decode)(rois, bbox_deltas, img_shapes)
+        return boxes, scores
+
     def predict_masks(
         self,
         images: jnp.ndarray,  # (B, H, W, 3)

@@ -89,3 +89,47 @@ def test_repeat_factors_formula():
     np.testing.assert_allclose(r[1], 1.0, rtol=1e-6)
     idx = expand_indices_by_repeat(r, epoch_seed=0)
     assert (idx == 0).sum() == 2  # integer factor repeats exactly
+
+
+def test_tta_content_flip_matches_pipeline_flip():
+    """flip_image_content on a preprocessed (padded) image must equal the
+    pipeline's own RandomFlip (applied before Pad) — flipping the padded
+    canvas instead would shift content by the pad width."""
+    import numpy as np
+
+    from balancedgroupsoftmax_tpu.data.pipeline import (
+        PipelineConfig, preprocess_image,
+    )
+    from balancedgroupsoftmax_tpu.eval.aug import flip_image_content
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (120, 160, 3), np.uint8)
+    none = np.zeros((0, 4), np.float32)
+    cfg = PipelineConfig(flip_prob=1.0, max_gt_boxes=4)
+    plain = preprocess_image(img, none, np.zeros(0, np.int32), cfg, False)
+    flipped = preprocess_image(
+        img, none, np.zeros(0, np.int32), cfg, True, np.random.RandomState(1)
+    )
+    assert flipped["flipped"]
+    got = flip_image_content(
+        plain["image"][None], plain["img_shape"][None]
+    )[0]
+    assert np.allclose(got, flipped["image"])
+    # and the padded-canvas flip would NOT match
+    assert not np.allclose(plain["image"][:, ::-1], flipped["image"])
+
+
+def test_tta_unflip_boxes_roundtrip():
+    import numpy as np
+
+    from balancedgroupsoftmax_tpu.eval.aug import unflip_boxes
+
+    new_w, sf = 1067.0, 1.6671875
+    boxes = np.array([[10.0, 5.0, 50.0, 40.0]], np.float32)
+    # flip at network scale, rescale back, then unflip_boxes must recover
+    net = boxes * sf
+    flipped_net = net.copy()
+    flipped_net[:, 0] = new_w - net[:, 2] - 1
+    flipped_net[:, 2] = new_w - net[:, 0] - 1
+    back = unflip_boxes(flipped_net / sf, new_w, sf)
+    assert np.allclose(back, boxes, atol=1e-4)

@@ -44,6 +44,15 @@ def parse_args():
                    help="multi-host: jax.distributed.initialize; each host "
                         "infers its image shard, results are allgathered")
     p.add_argument(
+        "--aug-rescore",
+        action="store_true",
+        help="reference-exact aug-test: merge RPN proposals across views "
+        "(merge_aug_proposals), re-score the SHARED proposals on every "
+        "view, average mapped-back boxes/scores, single multiclass NMS "
+        "(test_mixins.py aug_test_bboxes + merge_augs.py). Combine with "
+        "--flip-aug and/or --aug-scales to define the views.",
+    )
+    p.add_argument(
         "--flip-aug",
         action="store_true",
         help="horizontal-flip TTA: run both orientations, map back, merge by "
@@ -167,13 +176,145 @@ def main():
             )
         return aug_models[key]
 
-    def unflip(b, ow):
-        """Map boxes predicted on a flipped image back (original scale)."""
-        fb = b.copy()
-        x1 = fb[:, 0].copy()
-        fb[:, 0] = ow - fb[:, 2] - 1
-        fb[:, 2] = ow - x1 - 1
-        return fb
+    from balancedgroupsoftmax_tpu.eval.aug import (
+        flip_image_content as flip_content,
+        unflip_boxes as unflip,
+    )
+
+    rescore_models = {}
+
+    def get_rescore_fns(mult, bucket, flip):
+        """Jitted (propose_mapped, rescore_mapped) for one view config.
+
+        propose_mapped returns RPN proposals mapped back to the ORIGINAL
+        image frame; rescore_mapped maps shared original-frame proposals
+        into the view, re-scores them there, and maps the decoded
+        per-class boxes back — so the host only ever concatenates and
+        averages device arrays (aug_test_bboxes + merge_augs semantics)."""
+        import dataclasses
+
+        key = (mult, bucket, flip)
+        if key not in rescore_models:
+            from balancedgroupsoftmax_tpu.ops.boxes import bbox_flip
+
+            cfg_b = dataclasses.replace(det_cfg, image_size=bucket)
+            m = build_detector(cfg_b, partition=partition)
+
+            def _flip(b, sh):
+                return jax.vmap(bbox_flip)(b, sh)
+
+            @jax.jit
+            def propose_mapped(v, im, sh, sf):
+                pr = m.apply(v, im, sh, method="propose")
+                b = _flip(pr.boxes, sh) if flip else pr.boxes
+                return b / sf[:, None, None], pr.scores, pr.valid
+
+            @jax.jit
+            def rescore_mapped(v, im, rois_orig, sh, sf):
+                r = rois_orig * sf[:, None, None]
+                if flip:
+                    r = _flip(r, sh)
+                bx, sc = m.apply(v, im, r, sh, method="rescore")
+                if flip:
+                    bx = _flip(bx, sh)
+                return bx / sf[:, None, None], sc
+
+            rescore_models[key] = (propose_mapped, rescore_mapped)
+        return rescore_models[key]
+
+    @jax.jit
+    def _merge_props_fn(all_b, all_s, all_v):
+        """(B, V*P, ...) original-frame proposals -> merged top-P
+        (merge_aug_proposals: concat + NMS at rpn nms_thr)."""
+        from balancedgroupsoftmax_tpu.ops.nms import nms
+
+        pcfg_t = det_cfg.rpn_proposal_test
+        return jax.vmap(
+            lambda b, sc, v: nms(b, sc, v, pcfg_t.nms_thr, pcfg_t.max_num)
+        )(all_b, all_s, all_v)
+
+    @jax.jit
+    def _final_nms_fn(boxes, scores, valid):
+        from balancedgroupsoftmax_tpu.kernels import batched_multiclass_nms
+
+        c = det_cfg
+        return batched_multiclass_nms(
+            boxes,
+            scores,
+            valid,
+            c.rcnn_test.score_thr,
+            c.rcnn_test.nms_iou_thr,
+            c.rcnn_test.max_per_img,
+            candidates_per_class=c.rcnn_test.nms_candidates_per_class,
+            nms_type=c.rcnn_test.nms_type,
+        )
+
+    def run_aug_rescore(samples, raws, bucket):
+        """The reference aug-test flow over this batch's views."""
+        import dataclasses
+
+        views = []  # (mult, bucket, flip, images, shapes, sfs) device arrays
+
+        def add_view(mult, bkt, imgs_np, sh_np, sf_np):
+            im = jnp.asarray(imgs_np)
+            sh = jnp.asarray(sh_np)
+            sf = jnp.asarray(sf_np)
+            views.append((mult, bkt, False, im, sh, sf))
+            if args.flip_aug:
+                views.append(
+                    (mult, bkt, True,
+                     jnp.asarray(flip_content(imgs_np, sh_np)), sh, sf)
+                )
+
+        imgs_np = np.stack([s["image"] for s in samples])
+        sh_np = np.stack([s["img_shape"] for s in samples])
+        sf_np = np.stack([s["scale_factor"] for s in samples])
+        add_view(1.0, bucket, imgs_np, sh_np, sf_np)
+        for mult in args.aug_scales or []:
+            pcfg_m = dataclasses.replace(
+                pcfg,
+                scale=(round(pcfg.scale[0] * mult), round(pcfg.scale[1] * mult)),
+            )
+            sm = [
+                preprocess_image(
+                    r, np.zeros((0, 4), np.float32), np.zeros(0, np.int32),
+                    pcfg_m, False,
+                )
+                for r in raws
+            ]
+            add_view(
+                mult, sm[0]["bucket"],
+                np.stack([s["image"] for s in sm]),
+                np.stack([s["img_shape"] for s in sm]),
+                np.stack([s["scale_factor"] for s in sm]),
+            )
+
+        # 1) per-view proposals, mapped to the original frame
+        parts = []
+        for mult, bkt, fl, im, sh, sf in views:
+            pf, _ = get_rescore_fns(mult, bkt, fl)
+            parts.append(pf(variables, im, sh, sf))
+        merged_b, _, merged_v = _merge_props_fn(
+            jnp.concatenate([p[0] for p in parts], axis=1),
+            jnp.concatenate([p[1] for p in parts], axis=1),
+            jnp.concatenate([p[2] for p in parts], axis=1),
+        )
+
+        # 2) re-score the shared proposals on every view; average the
+        # mapped-back per-class boxes and scores (merge_aug_bboxes)
+        box_acc = scr_acc = None
+        for mult, bkt, fl, im, sh, sf in views:
+            _, rf = get_rescore_fns(mult, bkt, fl)
+            bx, sc = rf(variables, im, merged_b, sh, sf)
+            box_acc = bx if box_acc is None else box_acc + bx
+            scr_acc = sc if scr_acc is None else scr_acc + sc
+        nv = float(len(views))
+
+        # 3) one multiclass NMS on the averages
+        db, dsc, dl, dv = _final_nms_fn(box_acc / nv, scr_acc / nv, merged_v)
+        return (
+            np.asarray(db), np.asarray(dsc), np.asarray(dl), np.asarray(dv)
+        )
 
     def flush(bucket):
         import dataclasses
@@ -184,34 +325,55 @@ def main():
         pad = args.batch_size - len(buf)
         samples = [s for _, s, _ in buf] + [buf[-1][1]] * pad
         raws = [r for _, _, r in buf] + [buf[-1][2]] * pad
-        images = jnp.asarray(np.stack([s["image"] for s in samples]))
-        shapes = jnp.asarray(np.stack([s["img_shape"] for s in samples]))
-        sfs = jnp.asarray(np.stack([s["scale_factor"] for s in samples]))
+        images_np = np.stack([s["image"] for s in samples])
+        shapes_np = np.stack([s["img_shape"] for s in samples])
+        sfs_np = np.stack([s["scale_factor"] for s in samples])
+        images = jnp.asarray(images_np)
+        shapes = jnp.asarray(shapes_np)
+        sfs = jnp.asarray(sfs_np)
         fn, mask_fn = models[bucket]
-        dets = fn(variables, images, shapes, sfs)
-        # np.array (copy): the zero-copy view is read-only and the TTA
-        # merge below writes the merged detections back in place
-        boxes = np.array(dets.boxes)
-        scores = np.array(dets.scores)
-        labels = np.array(dets.labels)
-        valid = np.array(dets.valid)
+        if args.aug_rescore:
+            boxes, scores, labels, valid = run_aug_rescore(
+                samples, raws, bucket
+            )
+        else:
+            dets = fn(variables, images, shapes, sfs)
+            # np.array (copy): the zero-copy view is read-only and the TTA
+            # merge below writes the merged detections back in place
+            boxes = np.array(dets.boxes)
+            scores = np.array(dets.scores)
+            labels = np.array(dets.labels)
+            valid = np.array(dets.valid)
 
-        # ---- TTA passes (MultiScaleFlipAug equivalent). Every pass
-        # returns detections at ORIGINAL image scale, so merging is a
-        # per-image concat + class-aware NMS; flipped passes un-flip first.
+        # ---- detection-level TTA passes (MultiScaleFlipAug equivalent);
+        # --aug-rescore replaces this whole block with the shared-proposal
+        # flow above. Every pass returns detections at ORIGINAL image
+        # scale, so merging is a per-image concat + class-aware NMS;
+        # flipped passes un-flip first.
         aug_sets = []  # list of per-pass (boxes, scores, labels, valid)
 
-        def add_pass(b, s_, l_, v_, flipped):
+        def add_pass(b, s_, l_, v_, flipped, sh_np, sf_np):
             if flipped:
                 b = np.stack(
-                    [unflip(b[bi], float(raws[bi].shape[1])) for bi in range(len(b))]
+                    [
+                        unflip(b[bi], float(sh_np[bi][1]), float(sf_np[bi]))
+                        for bi in range(len(b))
+                    ]
                 )
             aug_sets.append((b, np.asarray(s_), np.asarray(l_), np.asarray(v_)))
 
-        if args.flip_aug:
-            f = fn(variables, images[:, :, ::-1], shapes, sfs)
-            add_pass(np.asarray(f.boxes), f.scores, f.labels, f.valid, True)
-        for mult in args.aug_scales or []:
+        if args.flip_aug and not args.aug_rescore:
+            f = fn(
+                variables,
+                jnp.asarray(flip_content(images_np, shapes_np)),
+                shapes,
+                sfs,
+            )
+            add_pass(
+                np.asarray(f.boxes), f.scores, f.labels, f.valid, True,
+                shapes_np, sfs_np,
+            )
+        for mult in [] if args.aug_rescore else (args.aug_scales or []):
             pcfg_m = dataclasses.replace(
                 pcfg,
                 scale=(round(pcfg.scale[0] * mult), round(pcfg.scale[1] * mult)),
@@ -226,14 +388,28 @@ def main():
             # scaling preserves aspect, so one batch shares one bucket
             bkt = sm[0]["bucket"]
             fn_m = get_scale_model(mult, bkt)
-            im_m = jnp.asarray(np.stack([s["image"] for s in sm]))
-            sh_m = jnp.asarray(np.stack([s["img_shape"] for s in sm]))
-            sf_m = jnp.asarray(np.stack([s["scale_factor"] for s in sm]))
+            im_m_np = np.stack([s["image"] for s in sm])
+            sh_m_np = np.stack([s["img_shape"] for s in sm])
+            sf_m_np = np.stack([s["scale_factor"] for s in sm])
+            im_m = jnp.asarray(im_m_np)
+            sh_m = jnp.asarray(sh_m_np)
+            sf_m = jnp.asarray(sf_m_np)
             d = fn_m(variables, im_m, sh_m, sf_m)
-            add_pass(np.asarray(d.boxes), d.scores, d.labels, d.valid, False)
+            add_pass(
+                np.asarray(d.boxes), d.scores, d.labels, d.valid, False,
+                sh_m_np, sf_m_np,
+            )
             if args.flip_aug:
-                d = fn_m(variables, im_m[:, :, ::-1], sh_m, sf_m)
-                add_pass(np.asarray(d.boxes), d.scores, d.labels, d.valid, True)
+                d = fn_m(
+                    variables,
+                    jnp.asarray(flip_content(im_m_np, sh_m_np)),
+                    sh_m,
+                    sf_m,
+                )
+                add_pass(
+                    np.asarray(d.boxes), d.scores, d.labels, d.valid, True,
+                    sh_m_np, sf_m_np,
+                )
 
         if aug_sets:
             from balancedgroupsoftmax_tpu.ops.nms import nms_keep as _nk
@@ -294,7 +470,7 @@ def main():
     # raw pixels are only needed by the TTA passes (re-preprocess at other
     # scales, unflip by original width); otherwise the native C++ pixel
     # path (decode+resize+normalize, GIL-released) skips them entirely
-    need_raw = bool(args.flip_aug or args.aug_scales)
+    need_raw = bool(args.flip_aug or args.aug_scales or args.aug_rescore)
     from balancedgroupsoftmax_tpu.data.pipeline import preprocess_image_file
 
     # multi-host: each process infers its rank-strided shard (single

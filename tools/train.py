@@ -120,6 +120,16 @@ def main():
         )
     if args.selectp is not None:
         train_cfg = dataclasses.replace(train_cfg, selectp=args.selectp)
+    if train_cfg.selectp != 0 and not (args.load_from or args.resume_from):
+        # the gs_* zoo entries default to the reference's PHASE-2 recipe
+        # (selectp=1: only fc_cls trains, tools/train.py:49-57 upstream) —
+        # from scratch that freezes the backbone/RPN and nothing learns
+        print(
+            f"WARNING: selectp={train_cfg.selectp} trains only the "
+            "classifier subset (the BAGS phase-2 recipe) but no warm-start "
+            "checkpoint was given (--load-from). For full from-scratch "
+            "training pass --selectp 0."
+        )
     if args.epochs is not None:
         train_cfg = dataclasses.replace(train_cfg, total_epochs=args.epochs)
     if args.lr_steps is not None:
