@@ -172,6 +172,23 @@ def test_train_and_eval_cli(mini_lvis, tmp_path):
     assert "AP" in stdout or "| (AP)" in stdout
     assert os.path.exists(tmp_path / "res.json")
 
+    # shared-proposal aug-test path (reference aug_test_bboxes flow); a
+    # single view still drives propose -> merge_aug_proposals -> rescore
+    # -> merge_aug_bboxes -> final NMS end to end
+    stdout = run_cli(
+        [
+            "tools/test_lvis.py", "--model", "gs_faster_rcnn_r50",
+            "--ann", mini_lvis["ann"], "--img-prefix", mini_lvis["img_prefix"],
+            "--partition", part,
+            "--checkpoint", os.path.join(work, ckpts[0]),
+            "--out", str(tmp_path / "res_rescore.json"),
+            "--batch-size", "2", "--limit", "2", "--aug-rescore",
+        ],
+        timeout=2400,
+    )
+    assert "AP" in stdout or "| (AP)" in stdout
+    assert os.path.exists(tmp_path / "res_rescore.json")
+
 
 def test_dataset_surgery_merge_coco(mini_lvis, tmp_path):
     coco = dict(
