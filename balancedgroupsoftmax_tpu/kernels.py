@@ -147,7 +147,7 @@ def batched_multiclass_nms(
         # coordinate planes end-to-end; only the final max_per_img
         # winners are assembled as (M, 4) rows.
         from .pallas.gather import gather_lanes_matmul
-        from .pallas.nms import nms_keep_batched_coords
+        from .pallas.nms import nms_keep_batched_coords, nms_keep_gathered
 
         if class_specific:
             pc = jnp.transpose(boxes.reshape(b, n, c, 4), (0, 2, 3, 1))
@@ -159,22 +159,29 @@ def batched_multiclass_nms(
             sel_pl = jnp.take_along_axis(
                 pc, cls_take[..., None, None], axis=1
             )  # (B, num_fg, 4, N)
-            cand4 = gather_lanes_matmul(
+            keep, cand4 = nms_keep_gathered(
                 sel_pl.reshape(b * num_fg, 4, n),
                 top_idx.reshape(b * num_fg, k),
-            ).reshape(b, num_fg, 4, k)
+                cand_valid.reshape(b * num_fg, k),
+                iou_thr,
+            )
+            keep = keep.reshape(b, num_fg, k)
+            cand4 = cand4.reshape(b, num_fg, 4, k)
         else:
-            planes = jnp.swapaxes(boxes, 1, 2)  # (B, 4, N), shared per class
+            # shared plane per image: the standalone gather kernel reuses
+            # one plane block across a class's groups (no replication);
+            # the fused kernel would need the plane materialized per group
+            planes = jnp.swapaxes(boxes, 1, 2)  # (B, 4, N)
             cand4 = gather_lanes_matmul(
                 planes,
                 top_idx.reshape(b * num_fg, k),
                 groups_per_plane=num_fg,
             ).reshape(b, num_fg, 4, k)
-        keep = nms_keep_batched_coords(
-            cand4.reshape(b * num_fg, 4, k),
-            cand_valid.reshape(b * num_fg, k),
-            iou_thr,
-        ).reshape(b, num_fg, k)
+            keep = nms_keep_batched_coords(
+                cand4.reshape(b * num_fg, 4, k),
+                cand_valid.reshape(b * num_fg, k),
+                iou_thr,
+            ).reshape(b, num_fg, k)
         cand_scores = jnp.where(keep & cand_valid, top_scores, -jnp.inf).reshape(b, -1)
         out_scores, flat_idx = jax.lax.top_k(cand_scores, max_per_img)  # (B, M)
         det_valid = jnp.isfinite(out_scores)

@@ -36,6 +36,10 @@ def _nms_block_kernel(
     x2 = x2_ref[:, 0, :]
     y2 = y2_ref[:, 0, :]
     vf = valid_ref[:, 0, :].astype(jnp.float32)  # 32-bit before dim inserts
+    _fixpoint_keep(iou_thr, rp, x1, y1, x2, y2, vf, keep_ref)
+
+
+def _fixpoint_keep(iou_thr, rp, x1, y1, x2, y2, vf, keep_ref):
     blk, k = vf.shape
 
     # Suppressor (row) dim only needs sublane alignment, not the lane
@@ -317,3 +321,93 @@ def nms_keep_batched_coords(
     is a 32x-lane-waste one."""
     cs = [coords[:, i, :].astype(jnp.float32) for i in range(4)]
     return _keep_from_coords(cs, valid, iou_thr, block, interpret)
+
+
+def _nms_gathered_kernel(
+    iou_thr, rp, block, planes_ref, idx_ref, valid_ref, keep_ref, cand_ref
+):
+    """Gather-fused variant of _nms_block_kernel: candidates are selected
+    from coordinate planes by an in-VMEM one-hot matmul (bit-exact bf16x3,
+    see pallas/gather.py) instead of arriving pre-gathered — one kernel
+    launch and no HBM round-trip for the (G, 4, K) candidate array."""
+    np_ = planes_ref.shape[-1]
+    kp = idx_ref.shape[-1]
+    coords = []
+    for j in range(block):
+        pj = planes_ref[j]  # (4, NP) f32
+        idx = idx_ref[j, 0, :]  # (KP,)
+        oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (np_, kp), 0) == idx[None, :]
+        ).astype(jnp.bfloat16)
+        hi = pj.astype(jnp.bfloat16)
+        r1 = pj - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = None
+        for term in (hi, mid, lo):
+            d = jax.lax.dot_general(
+                term, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out = d if out is None else out + d
+        cand_ref[j] = out  # (4, KP)
+        coords.append(out)
+
+    stacked = jnp.stack(coords)  # (BLK, 4, KP) f32
+    x1 = stacked[:, 0, :]
+    y1 = stacked[:, 1, :]
+    x2 = stacked[:, 2, :]
+    y2 = stacked[:, 3, :]
+    vf = valid_ref[:, 0, :].astype(jnp.float32)
+    _fixpoint_keep(iou_thr, rp, x1, y1, x2, y2, vf, keep_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("iou_thr", "block", "interpret"))
+def nms_keep_gathered(
+    planes: jnp.ndarray,  # (G, 4, N) f32 coordinate planes
+    idx: jnp.ndarray,  # (G, K) i32 candidate indices, score-descending
+    valid: jnp.ndarray,  # (G, K) bool
+    iou_thr: float,
+    block: int = 8,
+    interpret: bool = False,
+):
+    """Fused candidate-gather + greedy NMS. Returns (keep (G, K) bool,
+    cand (G, 4, K) f32) — cand[g, :, k] = planes[g, :, idx[g, k]]."""
+    g, k = valid.shape
+    _, r, n = planes.shape
+    kp = -(-k // 128) * 128
+    rp = min(-(-k // 8) * 8, kp)
+    np_ = -(-n // 128) * 128
+    block = max(1, min(block, int(8e6 // (rp * kp * 6))))
+    gp = -(-g // block) * block
+    if np_ != n or gp != g:
+        planes = jnp.pad(
+            planes, ((0, gp - g), (0, 0), (0, np_ - n))
+        )
+    idx_p = jnp.zeros((gp, 1, kp), jnp.int32).at[:g, 0, :k].set(
+        idx.astype(jnp.int32)
+    )
+    valid_p = jnp.zeros((gp, 1, kp), jnp.int32).at[:g, 0, :k].set(
+        valid.astype(jnp.int32)
+    )
+
+    kernel = functools.partial(_nms_gathered_kernel, iou_thr, rp, block)
+    keep, cand = pl.pallas_call(
+        kernel,
+        grid=(gp // block,),
+        in_specs=[
+            pl.BlockSpec((block, r, np_), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1, kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1, kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, 1, kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, r, kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((gp, 1, kp), jnp.int32),
+            jax.ShapeDtypeStruct((gp, r, kp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(planes.astype(jnp.float32), idx_p, valid_p)
+    return keep[:g, 0, :k] > 0, cand[:g, :, :k]

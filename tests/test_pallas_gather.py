@@ -71,6 +71,7 @@ def test_multiclass_nms_gathered_path_matches_xla(monkeypatch):
     monkeypatch.setattr(kernels, "pallas_enabled", lambda: True)
     orig_g = pg.gather_lanes_matmul
     orig_n = pn.nms_keep_batched_coords
+    orig_f = pn.nms_keep_gathered
     monkeypatch.setattr(
         pg, "gather_lanes_matmul",
         lambda *a, **kw: orig_g(*a, **{**kw, "interpret": True}),
@@ -78,6 +79,10 @@ def test_multiclass_nms_gathered_path_matches_xla(monkeypatch):
     monkeypatch.setattr(
         pn, "nms_keep_batched_coords",
         lambda *a, **kw: orig_n(*a, **{**kw, "interpret": True}),
+    )
+    monkeypatch.setattr(
+        pn, "nms_keep_gathered",
+        lambda *a, **kw: orig_f(*a, **{**kw, "interpret": True}),
     )
     got = kernels.batched_multiclass_nms(*args)
 

@@ -79,3 +79,38 @@ def test_pallas_nms_suppression_chain():
     )[0]
     expected = np_greedy_nms(boxes[0], scores, 0.5)
     np.testing.assert_array_equal(keep, expected)
+
+
+def test_fused_gather_nms_matches_separate():
+    """nms_keep_gathered == gather_lanes_matmul + nms_keep_batched_coords,
+    bit-exact (interpret mode)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from balancedgroupsoftmax_tpu.pallas.gather import gather_lanes_matmul
+    from balancedgroupsoftmax_tpu.pallas.nms import (
+        nms_keep_batched_coords, nms_keep_gathered,
+    )
+
+    rng = np.random.RandomState(4)
+    g, n, k = 6, 120, 40
+    planes = np.zeros((g, 4, n), np.float32)
+    planes[:, 0] = rng.rand(g, n) * 300
+    planes[:, 1] = rng.rand(g, n) * 300
+    planes[:, 2] = planes[:, 0] + rng.rand(g, n) * 100
+    planes[:, 3] = planes[:, 1] + rng.rand(g, n) * 100
+    idx = rng.randint(0, n, (g, k)).astype(np.int32)
+    valid = rng.rand(g, k) > 0.1
+
+    cand_ref = gather_lanes_matmul(
+        jnp.asarray(planes), jnp.asarray(idx), interpret=True
+    )
+    keep_ref = nms_keep_batched_coords(
+        cand_ref, jnp.asarray(valid), 0.5, interpret=True
+    )
+    keep, cand = nms_keep_gathered(
+        jnp.asarray(planes), jnp.asarray(idx), jnp.asarray(valid), 0.5,
+        interpret=True,
+    )
+    assert (np.asarray(cand) == np.asarray(cand_ref)).all()
+    assert (np.asarray(keep) == np.asarray(keep_ref)).all()
