@@ -85,7 +85,7 @@ def init_detector(
     """Build (and optionally load) a detector (apis/inference.py:16 parity)."""
     from . import zoo
     from .gs.partition import load_partition, synthetic_partition
-    from .models.detector import build_detector
+    from .models.detector import build_model as build_detector
     from .utils.checkpoint import restore_checkpoint
 
     builders = {

@@ -116,6 +116,7 @@ class CascadeRCNN(nn.Module):
         gt_labels: jnp.ndarray,
         gt_mask: jnp.ndarray,
         img_shapes: jnp.ndarray,
+        gt_mask_crops=None,  # accepted for train-step interface parity
     ) -> Dict[str, jnp.ndarray]:
         import dataclasses
 

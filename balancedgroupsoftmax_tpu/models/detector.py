@@ -439,3 +439,20 @@ def build_detector(cfg: DetectorConfig, partition=None, dtype=jnp.float32) -> Fa
     if cfg.bbox_head.use_gs and partition is None:
         raise ValueError("GS head requires a GSPartition")
     return FasterRCNN(cfg=cfg, partition=partition, dtype=dtype)
+
+
+def build_model(cfg: DetectorConfig, partition=None, dtype=jnp.float32):
+    """Config-dispatching constructor across the detector families —
+    FasterRCNN/MaskRCNN, CascadeRCNN, HTC all share the loss/predict
+    method interface, so CLIs and the inference API stay family-agnostic
+    (the reference's build_detector registry dispatch,
+    models/builder.py)."""
+    if cfg.htc is not None:
+        from .htc import build_htc
+
+        return build_htc(cfg, partition=partition, dtype=dtype)
+    if cfg.cascade is not None:
+        from .cascade import build_cascade
+
+        return build_cascade(cfg, partition=partition, dtype=dtype)
+    return build_detector(cfg, partition=partition, dtype=dtype)

@@ -29,7 +29,9 @@ def parse_args():
     p.add_argument("--model", default="faster_rcnn_r50",
                    choices=["faster_rcnn_r50", "gs_faster_rcnn_r50",
                             "faster_rcnn_x101", "mask_rcnn_r50",
-                            "gs_mask_rcnn_r50"])
+                            "gs_mask_rcnn_r50", "cascade_rcnn_x101",
+                            "gs_cascade_rcnn_x101", "htc_x101",
+                            "gs_htc_x101", "gs_htc_dcn_x101"])
     p.add_argument("--ann", required=True)
     p.add_argument("--img-prefix", required=True)
     p.add_argument("--checkpoint", required=True)
@@ -102,7 +104,7 @@ def main():
     from balancedgroupsoftmax_tpu.eval.lvis_eval import LvisEvaluator
     from balancedgroupsoftmax_tpu.eval.results import detections_to_records
     from balancedgroupsoftmax_tpu.gs.partition import load_partition
-    from balancedgroupsoftmax_tpu.models.detector import build_detector
+    from balancedgroupsoftmax_tpu.models.detector import build_model as build_detector
     from balancedgroupsoftmax_tpu.utils.checkpoint import restore_checkpoint, warm_start
 
     builders = {
@@ -111,6 +113,11 @@ def main():
         "faster_rcnn_x101": zoo.faster_rcnn_x101_64x4d_fpn_lvis,
         "mask_rcnn_r50": zoo.mask_rcnn_r50_fpn_lvis,
         "gs_mask_rcnn_r50": lambda **kw: zoo.mask_rcnn_r50_fpn_lvis(use_gs=True, **kw),
+        "cascade_rcnn_x101": zoo.cascade_rcnn_x101_64x4d_fpn_lvis,
+        "gs_cascade_rcnn_x101": lambda **kw: zoo.cascade_rcnn_x101_64x4d_fpn_lvis(use_gs=True, **kw),
+        "htc_x101": zoo.htc_x101_64x4d_fpn_lvis,
+        "gs_htc_x101": lambda **kw: zoo.htc_x101_64x4d_fpn_lvis(use_gs=True, **kw),
+        "gs_htc_dcn_x101": lambda **kw: zoo.htc_x101_64x4d_fpn_lvis(use_gs=True, dcn=True, **kw),
     }
     det_cfg, _ = builders[args.model]()
     partition = load_partition(args.partition) if args.partition else None

@@ -32,7 +32,9 @@ def parse_args():
     p.add_argument("--model", default="faster_rcnn_r50",
                    choices=["faster_rcnn_r50", "gs_faster_rcnn_r50",
                             "faster_rcnn_x101", "mask_rcnn_r50",
-                            "gs_mask_rcnn_r50"])
+                            "gs_mask_rcnn_r50", "cascade_rcnn_x101",
+                            "gs_cascade_rcnn_x101", "htc_x101",
+                            "gs_htc_x101", "gs_htc_dcn_x101"])
     p.add_argument("--ann", required=True)
     p.add_argument("--img-prefix", required=True)
     p.add_argument("--partition", default=None, help=".npz from tools/gs_partition.py")
@@ -96,7 +98,7 @@ def main():
         DetBatcher, PipelineConfig, collate, preprocess_image, repeat_factors,
     )
     from balancedgroupsoftmax_tpu.gs.partition import load_partition
-    from balancedgroupsoftmax_tpu.models.detector import build_detector
+    from balancedgroupsoftmax_tpu.models.detector import build_model as build_detector
     from balancedgroupsoftmax_tpu.parallel.optim import make_optimizer
     from balancedgroupsoftmax_tpu.parallel.train import (
         create_train_state, make_mesh, make_train_step, shard_batch, shard_train_step,
@@ -111,6 +113,11 @@ def main():
         "faster_rcnn_x101": zoo.faster_rcnn_x101_64x4d_fpn_lvis,
         "mask_rcnn_r50": zoo.mask_rcnn_r50_fpn_lvis,
         "gs_mask_rcnn_r50": lambda **kw: zoo.mask_rcnn_r50_fpn_lvis(use_gs=True, **kw),
+        "cascade_rcnn_x101": zoo.cascade_rcnn_x101_64x4d_fpn_lvis,
+        "gs_cascade_rcnn_x101": lambda **kw: zoo.cascade_rcnn_x101_64x4d_fpn_lvis(use_gs=True, **kw),
+        "htc_x101": zoo.htc_x101_64x4d_fpn_lvis,
+        "gs_htc_x101": lambda **kw: zoo.htc_x101_64x4d_fpn_lvis(use_gs=True, **kw),
+        "gs_htc_dcn_x101": lambda **kw: zoo.htc_x101_64x4d_fpn_lvis(use_gs=True, dcn=True, **kw),
     }
     det_cfg, train_cfg = builders[args.model]()
     if args.remat:
