@@ -154,6 +154,8 @@ def preprocess_image_file(
         import cv2
 
         img = cv2.imread(path)
+        if img is None:
+            raise ValueError(f"cannot decode image file: {path}")
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         return preprocess_image(img, gt_bboxes, gt_labels, cfg, train, rng)
 
@@ -185,6 +187,8 @@ def preprocess_image_file(
         import cv2
 
         img = cv2.imread(path)
+        if img is None:
+            raise ValueError(f"cannot decode image file: {path}")
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         resized = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
         if flipped:

@@ -234,6 +234,11 @@ def nms_keep_tiled(
         # budget; 256 measures fastest at K=2000 (4.99 vs 6.45 ms @128)
         kp128 = -(-k // 128) * 128
         tile = 256 if 4 * kp128 * 256 * 4 <= 12e6 else 128
+    assert tile % 128 == 0, (
+        f"tile must be a multiple of 128 (got {tile}); otherwise the "
+        f"128-rounded KP is not divisible by tile and trailing boxes "
+        f"would silently never be processed"
+    )
     kp = -(-k // tile) * tile
     kp = -(-kp // 128) * 128
 

@@ -35,7 +35,16 @@ def init_distributed(
     With no arguments JAX autodetects the cluster (TPU pod metadata /
     environment); explicit args support manual launch. Safe to call
     unconditionally at CLI startup.
+
+    A failure is only swallowed in the autodetect case (no cluster env =
+    single-process run, or already initialized). When the caller passed
+    explicit coordinator args a genuinely misconfigured launch must NOT
+    silently degrade to P single-process runs that each do the full work
+    — re-raise instead.
     """
+    explicit = coordinator_address is not None or (
+        num_processes is not None and num_processes > 1
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -43,6 +52,8 @@ def init_distributed(
             process_id=process_id,
         )
     except (ValueError, RuntimeError):
+        if explicit:
+            raise
         # single-process run (no cluster env) or already initialized
         pass
 

@@ -201,18 +201,40 @@ def main():
     tx = make_optimizer(train_cfg, variables["params"], steps_per_epoch,
                         det_cfg.backbone.frozen_stages)
     state = create_train_state(variables, tx)
+
+    def full_state_dict(st):
+        # full resume payload: params + frozen BN stats + optimizer state
+        # (SGD momentum) + step — the runner.resume parity the reference has
+        # (/root/reference/mmdet/apis/train.py:201-204)
+        return dict(
+            params=st.params, batch_stats=st.batch_stats,
+            opt_state=st.opt_state, step=np.asarray(int(st.step)),
+        )
+
     start_epoch = 0
     if args.resume_from:
-        # checkpoints hold {params, batch_stats, step}; optimizer momentum
-        # restarts (the LR schedule continues from the restored step)
-        loaded = restore_checkpoint(args.resume_from)
+        # restore against the live state as target so optax's named-tuple
+        # opt_state structure round-trips; older checkpoints without
+        # opt_state fall back to params-only (momentum restarts)
+        try:
+            loaded = restore_checkpoint(
+                args.resume_from, jax.device_get(full_state_dict(state))
+            )
+            opt_state = loaded["opt_state"]
+            note = "with optimizer state"
+        except Exception:
+            loaded = restore_checkpoint(args.resume_from)
+            opt_state = state.opt_state
+            note = "params only (no opt_state in checkpoint; momentum restarts)"
         state = state.replace(
             params=loaded["params"],
             batch_stats=loaded.get("batch_stats", state.batch_stats),
+            opt_state=opt_state,
             step=jnp.asarray(int(loaded["step"]), jnp.int32),
         )
         start_epoch = int(loaded["step"]) // steps_per_epoch
-        print(f"resumed from {args.resume_from} at step {int(loaded['step'])}")
+        print(f"resumed from {args.resume_from} at step {int(loaded['step'])} "
+              f"({note})")
 
     # mesh size = largest divisor of the global batch that fits the devices
     n_mesh = jax.device_count()
@@ -241,7 +263,7 @@ def main():
     # batch is the global batch divided across processes (single process:
     # the identity)
     assert batch_size % _jax.process_count() == 0, (
-        f"global batch {batch_size} must divide process count"
+        f"process count {_jax.process_count()} must divide global batch {batch_size}"
     )
     batcher = DetBatcher(
         flags, batch_size // _jax.process_count(), seed=args.seed, repeat=repeat,
@@ -318,10 +340,7 @@ def main():
                 # atomically, so a preemption mid-write can't corrupt it)
                 save_checkpoint(
                     os.path.join(args.work_dir, "autosave"),
-                    jax.device_get(
-                        dict(params=state.params, batch_stats=state.batch_stats,
-                             step=np.asarray(int(state.step)))
-                    ),
+                    jax.device_get(full_state_dict(state)),
                     block=False,
                 )
             if global_step % args.log_interval == 0:
@@ -342,10 +361,21 @@ def main():
             else:
                 continue
         ckpt = os.path.join(args.work_dir, f"ckpt_epoch_{epoch + 1}")
-        save_checkpoint(ckpt, jax.device_get(
-            dict(params=state.params, batch_stats=state.batch_stats,
-                 step=np.asarray(int(state.step)))
-        ), block=False)
+        save_checkpoint(ckpt, jax.device_get(full_state_dict(state)), block=False)
+        # sidecar meta, the analogue of the config text / class names the
+        # reference embeds in checkpoints (/root/reference/tools/train.py:133-139)
+        with open(ckpt + ".meta.json", "w") as f:
+            json.dump(
+                dict(
+                    model=args.model,
+                    epoch=epoch + 1,
+                    step=global_step,
+                    classes=list(ds.class_names),
+                    train_cfg=dataclasses.asdict(train_cfg),
+                    argv=sys.argv[1:],
+                ),
+                f, indent=1, default=str,
+            )
         print(f"saved {ckpt}")
         if args.val_ann:
             from balancedgroupsoftmax_tpu.utils.checkpoint import wait_for_checkpoints
