@@ -225,6 +225,39 @@ class CascadeRCNN(nn.Module):
                 prop_valid = targets.roi_valid
         return losses
 
+    def _run_stages(self, feats, rois, img_shapes):
+        """Shared multi-stage test loop (cascade test :363-390): pool +
+        score with each stage's head, refining the rois between stages
+        with that stage's class-agnostic regression. Returns the refined
+        rois, the stage-averaged class scores, and the LAST stage's raw
+        deltas (the reference decodes the final boxes from those)."""
+        c = self.cfg
+        ms_logits = []
+        bbox_deltas = None
+        for i in range(c.cascade.num_stages):
+            pooled = self._pool(feats, rois)
+            cls_logits, bbox_deltas = self.bbox_heads[i](pooled)
+            ms_logits.append(cls_logits.astype(jnp.float32))
+            if i < c.cascade.num_stages - 1:
+                # refine with this stage's regression (cascade test :363-377)
+                stds = c.cascade.stage_target_stds[i]
+                rois = jax.vmap(
+                    lambda r, d, shape: delta2bbox(
+                        r,
+                        d.astype(jnp.float32),
+                        c.bbox_head.target_means,
+                        stds,
+                        max_shape=(shape[0], shape[1]),
+                    )
+                )(rois, bbox_deltas, img_shapes)
+
+        avg_logits = sum(ms_logits) / len(ms_logits)
+        if c.bbox_head.use_gs:
+            scores = jax.vmap(lambda lg: gs_merge_scores(lg, self.partition))(avg_logits)
+        else:
+            scores = jax.nn.softmax(avg_logits, axis=-1)
+        return rois, scores, bbox_deltas
+
     def predict(
         self,
         images: jnp.ndarray,
@@ -240,31 +273,9 @@ class CascadeRCNN(nn.Module):
             rpn_outs, anchors, img_shapes, c.rpn_proposal_test
         )
 
-        rois = proposals.boxes
-        ms_logits = []
-        bbox_deltas = None
-        for i in range(c.cascade.num_stages):
-            pooled = self._pool(feats, rois)
-            cls_logits, bbox_deltas = self.bbox_heads[i](pooled)
-            ms_logits.append(cls_logits.astype(jnp.float32))
-            if i < c.cascade.num_stages - 1:
-                # refine with this stage's regression (cascade test :363-377)
-                rois = jax.vmap(
-                    lambda r, d, shape: delta2bbox(
-                        r,
-                        d.astype(jnp.float32),
-                        c.bbox_head.target_means,
-                        c.cascade.stage_target_stds[i],
-                        max_shape=(shape[0], shape[1]),
-                    )
-                )(rois, bbox_deltas, img_shapes)
-
-        avg_logits = sum(ms_logits) / len(ms_logits)
-        if c.bbox_head.use_gs:
-            scores = jax.vmap(lambda lg: gs_merge_scores(lg, self.partition))(avg_logits)
-        else:
-            scores = jax.nn.softmax(avg_logits, axis=-1)
-
+        rois, scores, bbox_deltas = self._run_stages(
+            feats, proposals.boxes, img_shapes
+        )
         last_stds = c.cascade.stage_target_stds[-1]
 
         def decode(r, d, shape, sf):
@@ -285,6 +296,48 @@ class CascadeRCNN(nn.Module):
             nms_type=c.rcnn_test.nms_type,
         )
         return Detections(boxes=db, scores=ds, labels=dl, valid=dv)
+
+    def propose(
+        self,
+        images: jnp.ndarray,  # (B, H, W, 3)
+        img_shapes: jnp.ndarray,  # (B, 2)
+    ):
+        """RPN proposals for one test view, in the VIEW frame (the per-view
+        step of aug_test_rpn, test_mixins.py:21-36; caller merges)."""
+        feats = self.extract_feats(images)
+        rpn_outs = self.rpn_head(feats)
+        anchors = self._anchors()
+        return rpn_proposals_batched(
+            rpn_outs, anchors, img_shapes, self.cfg.rpn_proposal_test
+        )
+
+    def rescore(
+        self,
+        images: jnp.ndarray,  # (B, H, W, 3) one test view
+        rois: jnp.ndarray,  # (B, P, 4) shared proposals mapped into this view
+        img_shapes: jnp.ndarray,  # (B, 2) view content shape
+    ):
+        """Score a FIXED shared proposal set against this view's features
+        through the full stage cascade (the reference's CascadeRCNN.aug_test,
+        cascade_rcnn.py:300-443: per-view stage loop over the shared merged
+        proposals, stage-averaged scores, boxes decoded from the refined
+        rois with the last stage's deltas, rescale=False — the caller maps
+        back to the original frame and averages, merge_augs.py:46-70).
+        Returns (boxes (B, P, 4) class-agnostic, scores (B, P, C))."""
+        c = self.cfg
+        feats = self.extract_feats(images)
+        rois, scores, bbox_deltas = self._run_stages(feats, rois, img_shapes)
+        last_stds = c.cascade.stage_target_stds[-1]
+        boxes = jax.vmap(
+            lambda r, d, shape: delta2bbox(
+                r,
+                d.astype(jnp.float32),
+                c.bbox_head.target_means,
+                last_stds,
+                max_shape=(shape[0], shape[1]),
+            )
+        )(rois, bbox_deltas, img_shapes)
+        return boxes, scores
 
 
 def build_cascade(cfg: DetectorConfig, partition=None, dtype=jnp.float32) -> CascadeRCNN:

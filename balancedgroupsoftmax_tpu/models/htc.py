@@ -157,6 +157,76 @@ class HTC(nn.Module):
             mh(dummy_m, res_feat=dummy_res if (self.cfg.htc.mask_info_flow and i > 0) else None)
         return rpn_outs, outs, seg_logits
 
+    def _run_stages(self, feats, sem_feat, rois, img_shapes):
+        """Shared multi-stage test loop with semantic fusion (htc.py:86-94 +
+        cascade test :363-390). Returns the refined rois, stage-averaged
+        class scores, and the last stage's raw deltas."""
+        c = self.cfg
+        ms_logits = []
+        bbox_deltas = None
+        for i in range(c.cascade.num_stages):
+            pooled = self._pool(feats, rois)
+            if "bbox" in c.htc.semantic_fusion:
+                pooled = pooled + self._pool_semantic(
+                    sem_feat, rois, c.roi_extractor.out_size
+                ).astype(pooled.dtype)
+            cls_logits, bbox_deltas = self.bbox_heads[i](pooled)
+            ms_logits.append(cls_logits.astype(jnp.float32))
+            if i < c.cascade.num_stages - 1:
+                stds = c.cascade.stage_target_stds[i]
+                rois = jax.vmap(
+                    lambda r, d, shape: delta2bbox(
+                        r, d.astype(jnp.float32), c.bbox_head.target_means,
+                        stds, max_shape=(shape[0], shape[1]),
+                    )
+                )(rois, bbox_deltas, img_shapes)
+
+        avg_logits = sum(ms_logits) / len(ms_logits)
+        if c.bbox_head.use_gs:
+            scores = jax.vmap(lambda lg: gs_merge_scores(lg, self.partition))(avg_logits)
+        else:
+            scores = jax.nn.softmax(avg_logits, axis=-1)
+        return rois, scores, bbox_deltas
+
+    def propose(
+        self,
+        images: jnp.ndarray,  # (B, H, W, 3)
+        img_shapes: jnp.ndarray,  # (B, 2)
+    ):
+        """RPN proposals for one test view, in the VIEW frame (the per-view
+        step of aug_test_rpn, test_mixins.py:21-36; caller merges)."""
+        feats = self.extract_feats(images)
+        rpn_outs = self.rpn_head(feats)
+        anchors = self._anchors()
+        return rpn_proposals_batched(
+            rpn_outs, anchors, img_shapes, self.cfg.rpn_proposal_test
+        )
+
+    def rescore(
+        self,
+        images: jnp.ndarray,  # (B, H, W, 3) one test view
+        rois: jnp.ndarray,  # (B, P, 4) shared proposals mapped into this view
+        img_shapes: jnp.ndarray,  # (B, 2)
+    ):
+        """Score a FIXED shared proposal set on this view through the full
+        semantic-fused stage cascade (HTC aug path = CascadeRCNN.aug_test,
+        cascade_rcnn.py:300-443, with htc.py:86-94 fusion). Returns
+        (boxes (B, P, 4) class-agnostic view-frame, scores (B, P, C))."""
+        c = self.cfg
+        feats = self.extract_feats(images)
+        _, sem_feat = self.semantic_head(feats)
+        rois, scores, bbox_deltas = self._run_stages(
+            feats, sem_feat, rois, img_shapes
+        )
+        last_stds = c.cascade.stage_target_stds[-1]
+        boxes = jax.vmap(
+            lambda r, d, shape: delta2bbox(
+                r, d.astype(jnp.float32), c.bbox_head.target_means,
+                last_stds, max_shape=(shape[0], shape[1]),
+            )
+        )(rois, bbox_deltas, img_shapes)
+        return boxes, scores
+
     # --- training ---------------------------------------------------------
     def loss(
         self,
@@ -328,30 +398,9 @@ class HTC(nn.Module):
             rpn_outs, anchors, img_shapes, c.rpn_proposal_test
         )
 
-        rois = proposals.boxes
-        ms_logits = []
-        bbox_deltas = None
-        for i in range(c.cascade.num_stages):
-            pooled = self._pool(feats, rois)
-            if "bbox" in c.htc.semantic_fusion:
-                pooled = pooled + self._pool_semantic(
-                    sem_feat, rois, c.roi_extractor.out_size
-                ).astype(pooled.dtype)
-            cls_logits, bbox_deltas = self.bbox_heads[i](pooled)
-            ms_logits.append(cls_logits.astype(jnp.float32))
-            if i < c.cascade.num_stages - 1:
-                rois = jax.vmap(
-                    lambda r, d, shape: delta2bbox(
-                        r, d.astype(jnp.float32), c.bbox_head.target_means,
-                        c.cascade.stage_target_stds[i], max_shape=(shape[0], shape[1]),
-                    )
-                )(rois, bbox_deltas, img_shapes)
-
-        avg_logits = sum(ms_logits) / len(ms_logits)
-        if c.bbox_head.use_gs:
-            scores = jax.vmap(lambda lg: gs_merge_scores(lg, self.partition))(avg_logits)
-        else:
-            scores = jax.nn.softmax(avg_logits, axis=-1)
+        rois, scores, bbox_deltas = self._run_stages(
+            feats, sem_feat, proposals.boxes, img_shapes
+        )
 
         def decode(r, d, shape, sf):
             boxes = delta2bbox(

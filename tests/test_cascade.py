@@ -79,3 +79,40 @@ def test_cascade_grads_reach_all_stages():
     for i in range(3):
         g = grads[f"bbox_head_{i}"]["fc_cls"]["kernel"]
         assert float(jnp.abs(g).sum()) > 0, f"stage {i} got no gradient"
+
+
+def test_cascade_propose_rescore_matches_predict():
+    """Single-view aug path == direct predict: rescore() on propose()'s own
+    proposals must reproduce predict()'s pre-NMS boxes/scores (the aug flow
+    of cascade_rcnn.py:300-443 degenerates to simple_test for one view)."""
+    cfg = cascade_tiny(use_gs=True)
+    model = build_cascade(cfg, partition=tiny_partition())
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    batch = make_batch()
+    images, shapes = batch[0], batch[4]
+
+    props = jax.jit(
+        lambda v, im, sh: model.apply(v, im, sh, method="propose")
+    )(variables, images, shapes)
+    boxes, scores = jax.jit(
+        lambda v, im, r, sh: model.apply(v, im, r, sh, method="rescore")
+    )(variables, images, props.boxes, shapes)
+    p = props.boxes.shape[1]
+    assert boxes.shape == (2, p, 4)  # class-agnostic regression
+    assert scores.shape[:2] == (2, p)
+    assert np.isfinite(np.asarray(boxes)).all()
+    sc = np.asarray(scores)
+    assert (sc >= 0).all() and (sc <= 1.0 + 1e-5).all()
+
+    dets = jax.jit(
+        lambda v, im, sh: model.apply(v, im, sh, jnp.ones(2), method="predict")
+    )(variables, images, shapes)
+    # the same proposals, stage loop and decode feed predict's NMS: every
+    # final detection's box must appear among rescore's decoded boxes
+    db = np.asarray(dets.boxes)
+    dv = np.asarray(dets.valid)
+    bx = np.asarray(boxes)
+    for b in range(2):
+        for j in np.where(dv[b])[0]:
+            d = np.abs(bx[b] - db[b, j][None]).max(axis=1)
+            assert d.min() < 1e-4

@@ -103,3 +103,34 @@ def test_htc_gs_predict_and_masks():
     assert probs.shape == (2, 10, 28, 28)
     pv = np.asarray(probs)
     assert ((pv >= 0) & (pv <= 1)).all()
+
+
+def test_htc_propose_rescore():
+    """HTC aug-rescore path: shapes, finiteness, and detection-box membership
+    (rescore on propose's own proposals reproduces predict's candidates)."""
+    cfg = htc_tiny(use_gs=True)
+    model = build_htc(cfg, partition=tiny_partition())
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    batch = make_batch()
+    images, shapes = batch[0], batch[4]
+    props = jax.jit(
+        lambda v, im, sh: model.apply(v, im, sh, method="propose")
+    )(variables, images, shapes)
+    boxes, scores = jax.jit(
+        lambda v, im, r, sh: model.apply(v, im, r, sh, method="rescore")
+    )(variables, images, props.boxes, shapes)
+    p = props.boxes.shape[1]
+    assert boxes.shape == (images.shape[0], p, 4)
+    assert scores.shape[:2] == (images.shape[0], p)
+    assert np.isfinite(np.asarray(boxes)).all()
+
+    dets = jax.jit(
+        lambda v, im, sh: model.apply(
+            v, im, sh, jnp.ones(images.shape[0]), method="predict"
+        )
+    )(variables, images, shapes)
+    db, dv, bx = (np.asarray(dets.boxes), np.asarray(dets.valid), np.asarray(boxes))
+    for b in range(images.shape[0]):
+        for j in np.where(dv[b])[0]:
+            d = np.abs(bx[b] - db[b, j][None]).max(axis=1)
+            assert d.min() < 1e-4
