@@ -33,12 +33,21 @@ def parse_args():
                             "gs_cascade_rcnn_x101", "htc_x101",
                             "gs_htc_x101", "gs_htc_dcn_x101"])
     p.add_argument("--ann", required=True)
+    p.add_argument("--dataset", default="lvis",
+                   choices=["lvis", "coco", "cityscapes"],
+                   help="annotation dialect: lvis/coco share the reader; "
+                        "cityscapes keeps nested file paths and pins the "
+                        "8 canonical classes (datasets/cityscapes.py)")
     p.add_argument("--img-prefix", required=True)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--partition", default=None)
     p.add_argument("--out", default=None, help="write result records json")
     p.add_argument("--tau", type=float, default=None,
                    help="tau-normalize fc_cls rows by 1/||w||^tau (test_lvis.py:135)")
+    p.add_argument("--scale", type=int, nargs=2, default=None,
+                   metavar=("LONG", "SHORT"),
+                   help="keep-ratio resize target (default 1333 800); must "
+                        "match the scale the checkpoint was trained at")
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--limit", type=int, default=None, help="eval first N images")
     p.add_argument("--no-eval", action="store_true")
@@ -99,7 +108,7 @@ def main():
     from balancedgroupsoftmax_tpu import zoo
     from balancedgroupsoftmax_tpu.data.lvis import LvisDataset
     from balancedgroupsoftmax_tpu.data.pipeline import (
-        LANDSCAPE_BUCKET, PORTRAIT_BUCKET, PipelineConfig, preprocess_image,
+        PipelineConfig, preprocess_image,
     )
     from balancedgroupsoftmax_tpu.eval.lvis_eval import LvisEvaluator
     from balancedgroupsoftmax_tpu.eval.results import detections_to_records
@@ -122,7 +131,12 @@ def main():
     det_cfg, _ = builders[args.model]()
     partition = load_partition(args.partition) if args.partition else None
 
-    ds = LvisDataset(args.ann, args.img_prefix, test_mode=True)
+    if args.dataset == "cityscapes":
+        from balancedgroupsoftmax_tpu.data.cityscapes import CityscapesDataset
+
+        ds = CityscapesDataset(args.ann, args.img_prefix, test_mode=True)
+    else:
+        ds = LvisDataset(args.ann, args.img_prefix, test_mode=True)
     num_classes = len(ds.cat_ids) + 1
     if num_classes != det_cfg.bbox_head.num_classes:
         import dataclasses as _dc
@@ -134,6 +148,12 @@ def main():
     if partition is not None:
         assert partition.num_classes == num_classes
     pcfg = PipelineConfig()
+    if args.scale:
+        import dataclasses as _dc
+
+        pcfg = _dc.replace(pcfg, scale=(args.scale[0], args.scale[1]))
+    # static pad buckets (square scales collapse the two into one)
+    bucket_list = sorted(set(pcfg.buckets()))
 
     loaded = restore_checkpoint(args.checkpoint)
     params = loaded["params"] if "params" in loaded else loaded
@@ -147,7 +167,7 @@ def main():
 
     # two static buckets -> two compiled programs
     models = {}
-    for bucket in (LANDSCAPE_BUCKET, PORTRAIT_BUCKET):
+    for bucket in bucket_list:
         import dataclasses
 
         cfg_b = dataclasses.replace(det_cfg, image_size=bucket)
@@ -168,7 +188,7 @@ def main():
                  "batch_stats": loaded.get("batch_stats", {})}
 
     t0 = time.time()
-    batch_buf = {LANDSCAPE_BUCKET: [], PORTRAIT_BUCKET: []}
+    batch_buf = {b: [] for b in bucket_list}
     aug_models = {}  # (scale_mult, bucket) -> jitted predict
 
     def get_scale_model(mult, bucket):

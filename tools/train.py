@@ -36,6 +36,11 @@ def parse_args():
                             "gs_cascade_rcnn_x101", "htc_x101",
                             "gs_htc_x101", "gs_htc_dcn_x101"])
     p.add_argument("--ann", required=True)
+    p.add_argument("--dataset", default="lvis",
+                   choices=["lvis", "coco", "cityscapes"],
+                   help="annotation dialect: lvis/coco share the reader; "
+                        "cityscapes keeps nested file paths and pins the "
+                        "8 canonical classes (datasets/cityscapes.py)")
     p.add_argument("--img-prefix", required=True)
     p.add_argument("--partition", default=None, help=".npz from tools/gs_partition.py")
     p.add_argument("--work-dir", required=True)
@@ -49,6 +54,10 @@ def parse_args():
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--lr-steps", type=int, nargs="*", default=None,
                    help="epochs at which LR decays x0.1 (default 8 11)")
+    p.add_argument("--warmup-iters", type=int, default=None,
+                   help="linear warmup length in iterations (default 500; "
+                        "shorten for small synthetic runs where 500 iters "
+                        "would span most of the schedule)")
     p.add_argument("--autoscale-lr", action="store_true",
                    help="linear scaling rule lr *= batch/16 (train.py:107)")
     p.add_argument("--use-rfs", action="store_true", help="repeat factor sampling")
@@ -61,6 +70,11 @@ def parse_args():
                         "TPU-native analogue of the reference's fp16 hook, "
                         "core/fp16/hooks.py, minus the loss scaling bf16 "
                         "does not need)")
+    p.add_argument("--scale", type=int, nargs=2, default=None,
+                   metavar=("LONG", "SHORT"),
+                   help="keep-ratio resize target (default 1333 800, the "
+                        "reference Resize img_scale); smaller scales make "
+                        "synthetic-data experiments cheap")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--save-interval", type=int, default=1,
@@ -139,6 +153,8 @@ def main():
         )
     if args.epochs is not None:
         train_cfg = dataclasses.replace(train_cfg, total_epochs=args.epochs)
+    if args.warmup_iters is not None:
+        train_cfg = dataclasses.replace(train_cfg, warmup_iters=args.warmup_iters)
     if args.lr_steps is not None:
         train_cfg = dataclasses.replace(
             train_cfg, lr_step_epochs=tuple(args.lr_steps)
@@ -152,7 +168,12 @@ def main():
     train_cfg = dataclasses.replace(train_cfg, lr=lr)
 
     print(f"loading dataset {args.ann}")
-    ds = LvisDataset(args.ann, args.img_prefix)
+    if args.dataset == "cityscapes":
+        from balancedgroupsoftmax_tpu.data.cityscapes import CityscapesDataset
+
+        ds = CityscapesDataset(args.ann, args.img_prefix)
+    else:
+        ds = LvisDataset(args.ann, args.img_prefix)
     num_classes = len(ds.cat_ids) + 1
     if num_classes != det_cfg.bbox_head.num_classes:
         det_cfg = dataclasses.replace(
@@ -165,10 +186,14 @@ def main():
         assert partition.num_classes == num_classes, (
             f"partition has {partition.num_classes} classes, dataset {num_classes}"
         )
+    pcfg = PipelineConfig(max_gt_boxes=det_cfg.max_gt_boxes)
+    if args.scale:
+        pcfg = dataclasses.replace(pcfg, scale=(args.scale[0], args.scale[1]))
+        # the model's static anchor grid must match the padded bucket
+        det_cfg = dataclasses.replace(det_cfg, image_size=pcfg.buckets()[0])
     model = build_detector(
         det_cfg, partition=partition, dtype=jnp.dtype(args.dtype)
     )
-    pcfg = PipelineConfig(max_gt_boxes=det_cfg.max_gt_boxes)
     steps_per_epoch = max(len(ds) // batch_size, 1)
 
     h, w = det_cfg.image_size
@@ -395,6 +420,10 @@ def main():
                 cmd += ["--partition", args.partition]
             if args.val_limit:
                 cmd += ["--limit", str(args.val_limit)]
+            if args.scale:
+                cmd += ["--scale", str(args.scale[0]), str(args.scale[1])]
+            if args.dataset != "lvis":
+                cmd += ["--dataset", args.dataset]
             print(f"[epoch {epoch + 1}] validation:")
             subprocess.run(cmd, check=False)
         if args.max_steps and global_step >= args.max_steps:
