@@ -64,3 +64,41 @@ def test_wider_face_dataset(tmp_path):
     ann = ds.get_ann_info(0)
     np.testing.assert_allclose(ann["bboxes"][0], [100, 200, 150, 250])
     assert ann["labels"][0] == 1
+
+
+def test_cityscapes_dataset(tmp_path):
+    """CityscapesDataset: COCO-schema reading with nested file paths kept
+    intact (no LVIS '_'-splitting) and the canonical 8-class check
+    (reference datasets/cityscapes.py)."""
+    import json
+
+    from balancedgroupsoftmax_tpu.data.cityscapes import CityscapesDataset
+
+    names = ["person", "rider", "car", "truck", "bus", "train",
+             "motorcycle", "bicycle"]
+    ann = dict(
+        images=[dict(id=1, file_name="frankfurt/frankfurt_000000_000294.png",
+                     width=2048, height=1024)],
+        annotations=[dict(id=1, image_id=1, category_id=3,
+                          bbox=[10.0, 20.0, 30.0, 40.0], area=1200.0,
+                          iscrowd=0)],
+        categories=[dict(id=i + 1, name=n) for i, n in enumerate(names)],
+    )
+    p = tmp_path / "cs.json"
+    p.write_text(json.dumps(ann))
+    ds = CityscapesDataset(str(p), str(tmp_path))
+    assert ds.class_names == tuple(names)
+    # nested relative path survives (LVIS would split it to 000294.png)
+    assert ds.image_path(0).endswith(
+        os.path.join("frankfurt", "frankfurt_000000_000294.png")
+    )
+    info = ds.get_ann_info(0)
+    np.testing.assert_allclose(info["bboxes"][0], [10, 20, 39, 59])  # xywh->xyxy-1
+    assert info["labels"][0] == 3
+
+    ann["categories"] = ann["categories"][:4]
+    p.write_text(json.dumps(ann))
+    import pytest
+
+    with pytest.raises(ValueError):
+        CityscapesDataset(str(p), str(tmp_path))
