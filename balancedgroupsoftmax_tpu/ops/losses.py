@@ -96,42 +96,82 @@ def iou_loss(pred_boxes, target_boxes, weight=None, avg_factor=None, eps=1e-6):
     return weight_reduce(loss, weight, avg_factor)
 
 
-def ghm_c(logits, targets, label_weight, bins=10, momentum=0.0, avg_factor=None):
-    """GHM classification loss (losses/ghm_loss.py GHMC parity, stateless).
+def _ghm_weights(g, valid, edges, bins, acc_sum, momentum, tot):
+    """Gradient-density weights shared by GHM-C/R (losses/ghm_loss.py:66-91,
+    143-163): per-bin inverse-density weight, normalized by the count of
+    NON-EMPTY bins n (not the static bin count), with the optional running
+    EMA of per-bin populations (acc_sum, updated only for non-empty bins —
+    the reference mutates self.acc_sum inside `if num_in_bin > 0`).
+
+    Returns (weights, new_acc_sum). Stateless/jit-friendly: the caller
+    threads acc_sum through the train step (a flax variable or TrainState
+    leaf) instead of the reference's module attribute. `tot` is the
+    caller's normalizer — GHM-C uses the valid COUNT, GHM-R the label
+    weight SUM (ghm_loss.py:73 vs :147) — and scales the per-bin weights.
+    """
+    weights = jnp.zeros_like(g)
+    n = jnp.zeros((), g.dtype)
+    new_acc = []
+    for i in range(bins):
+        inds = (g >= edges[i]) & (g < edges[i + 1]) & valid
+        num = jnp.sum(inds).astype(g.dtype)
+        nonempty = num > 0
+        if momentum > 0:
+            acc_i = jnp.where(
+                nonempty, momentum * acc_sum[i] + (1 - momentum) * num, acc_sum[i]
+            )
+            new_acc.append(acc_i)
+            denom = acc_i
+        else:
+            denom = num
+        weights = jnp.where(
+            inds & nonempty, tot / jnp.maximum(denom, 1e-12), weights
+        )
+        n = n + nonempty.astype(g.dtype)
+    weights = weights / jnp.maximum(n, 1.0)
+    return weights, (jnp.stack(new_acc) if momentum > 0 else acc_sum)
+
+
+def ghm_c(logits, targets, label_weight, bins=10, momentum=0.0,
+          avg_factor=None, acc_sum=None):
+    """GHM classification loss (losses/ghm_loss.py GHMC parity).
 
     Gradient-density harmonizing on sigmoid logits; `targets` one-hot float.
-    The running-momentum variant keeps state in the optimizer loop; this is
-    the momentum=0 form (default in shipped configs).
+    momentum=0 (shipped-config default) is stateless and returns the loss;
+    momentum>0 is the reference's running-EMA variant — pass the (bins,)
+    `acc_sum` state and the call returns (loss, new_acc_sum) for the caller
+    to thread (ghm_loss.py:80-84 mutates self.acc_sum in place).
     """
     g = jnp.abs(jax.nn.sigmoid(logits) - targets)
     valid = label_weight > 0
-    tot = jnp.maximum(jnp.sum(valid), 1.0)
+    tot = jnp.maximum(jnp.sum(valid).astype(g.dtype), 1.0)
     edges = jnp.linspace(0, 1, bins + 1).at[-1].add(1e-6)
-    weights = jnp.zeros_like(g)
-    for i in range(bins):
-        inds = (g >= edges[i]) & (g < edges[i + 1]) & valid
-        num_in_bin = jnp.sum(inds)
-        weights = jnp.where(inds, tot / jnp.maximum(num_in_bin, 1.0), weights)
-    weights = weights / bins
+    if momentum > 0 and acc_sum is None:
+        acc_sum = jnp.zeros((bins,), g.dtype)
+    weights, new_acc = _ghm_weights(g, valid, edges, bins, acc_sum, momentum, tot)
     bce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    return jnp.sum(bce * weights) / (avg_factor or tot)
+    loss = jnp.sum(bce * weights) / (avg_factor or tot)
+    return (loss, new_acc) if momentum > 0 else loss
 
 
-def ghm_r(pred, target, label_weight, mu=0.02, bins=10, avg_factor=None):
-    """GHM regression loss (GHMR parity): ASL1 base with density weights."""
+def ghm_r(pred, target, label_weight, mu=0.02, bins=10, momentum=0.0,
+          avg_factor=None, acc_sum=None):
+    """GHM regression loss (GHMR parity): ASL1 base with density weights;
+    momentum>0 returns (loss, new_acc_sum) like ghm_c."""
     diff = pred - target
     loss = jnp.sqrt(diff * diff + mu * mu) - mu
     g = jnp.abs(diff / jnp.sqrt(mu * mu + diff * diff))
     valid = label_weight > 0
-    tot = jnp.maximum(jnp.sum(valid), 1.0)
-    edges = jnp.linspace(0, 1, bins + 1).at[-1].add(1e3)
-    weights = jnp.zeros_like(g)
-    for i in range(bins):
-        inds = (g >= edges[i]) & (g < edges[i + 1]) & valid
-        num_in_bin = jnp.sum(inds)
-        weights = jnp.where(inds, tot / jnp.maximum(num_in_bin, 1.0), weights)
-    weights = weights / bins
-    return jnp.sum(loss * weights) / (avg_factor or tot)
+    # the reference normalizes GHM-R by sum(label_weight), not the valid
+    # count (ghm_loss.py:147 tot = label_weight.float().sum()) — and uses
+    # the same tot inside the per-bin weights
+    tot = jnp.maximum(jnp.sum(label_weight.astype(g.dtype)), 1.0)
+    edges = jnp.linspace(0, 1, bins + 1).at[-1].set(1e3)
+    if momentum > 0 and acc_sum is None:
+        acc_sum = jnp.zeros((bins,), g.dtype)
+    weights, new_acc = _ghm_weights(g, valid, edges, bins, acc_sum, momentum, tot)
+    out = jnp.sum(loss * weights) / (avg_factor or tot)
+    return (out, new_acc) if momentum > 0 else out
 
 
 def accuracy(logits, labels, mask=None):

@@ -287,3 +287,65 @@ def test_gs_slice_preds_matches_reference():
             ref_slices[i].numpy(), logits[:, start : start + size]
         )
         start += size
+
+
+@pytest.mark.parametrize("momentum", [0.0, 0.75])
+def test_ghm_c_matches_reference(momentum):
+    """GHM-C vs the real losses/ghm_loss.py GHMC — incl. the stateful EMA
+    acc_sum over sequential calls (the reference mutates self.acc_sum)."""
+    from balancedgroupsoftmax_tpu.ops.losses import ghm_c
+
+    ref = load_reference().GHMC(bins=10, momentum=momentum)
+    rng = np.random.RandomState(11)
+    acc = None
+    for step in range(3):
+        logits = rng.randn(40, 6).astype(np.float32) * 3
+        targets = (rng.rand(40, 6) < 0.3).astype(np.float32)
+        lw = (rng.rand(40, 6) < 0.8).astype(np.float32)
+        want = ref(
+            torch.from_numpy(logits), torch.from_numpy(targets),
+            torch.from_numpy(lw),
+        ).item()
+        if momentum > 0:
+            got, acc = ghm_c(
+                jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(lw),
+                momentum=momentum, acc_sum=acc,
+            )
+            np.testing.assert_allclose(
+                np.asarray(acc), ref.acc_sum.numpy(), rtol=1e-5,
+                err_msg=f"acc_sum diverged at step {step}",
+            )
+        else:
+            got = ghm_c(jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(lw))
+        np.testing.assert_allclose(float(got), want, rtol=1e-5,
+                                   err_msg=f"loss diverged at step {step}")
+
+
+@pytest.mark.parametrize("momentum", [0.0, 0.9])
+def test_ghm_r_matches_reference(momentum):
+    from balancedgroupsoftmax_tpu.ops.losses import ghm_r
+
+    ref = load_reference().GHMR(mu=0.02, bins=10, momentum=momentum)
+    rng = np.random.RandomState(12)
+    acc = None
+    for step in range(3):
+        pred = rng.randn(50, 4).astype(np.float32)
+        target = rng.randn(50, 4).astype(np.float32)
+        lw = (rng.rand(50, 4) < 0.7).astype(np.float32)
+        want = ref(
+            torch.from_numpy(pred), torch.from_numpy(target),
+            torch.from_numpy(lw),
+        ).item()
+        if momentum > 0:
+            got, acc = ghm_r(
+                jnp.asarray(pred), jnp.asarray(target), jnp.asarray(lw),
+                momentum=momentum, acc_sum=acc,
+            )
+            np.testing.assert_allclose(
+                np.asarray(acc), ref.acc_sum.numpy(), rtol=1e-5,
+                err_msg=f"acc_sum diverged at step {step}",
+            )
+        else:
+            got = ghm_r(jnp.asarray(pred), jnp.asarray(target), jnp.asarray(lw))
+        np.testing.assert_allclose(float(got), want, rtol=1e-5,
+                                   err_msg=f"loss diverged at step {step}")
