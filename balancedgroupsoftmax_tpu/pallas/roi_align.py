@@ -56,22 +56,29 @@ def _rois_per_block(out_size: int, itemsize: int) -> int:
     return rb if out_size <= 7 else max(rb // 2, 2)
 
 
+def _sel_table(idx, values, dtype):
+    """Scalar select from a STATIC per-section table (<= 2*num_levels
+    entries) — a short where-chain on the scalar core instead of an SMEM
+    array, so derivable per-roi data costs no scalar-prefetch budget."""
+    out = jnp.asarray(values[0], dtype)
+    for i, v in enumerate(values[1:], 1):
+        out = jnp.where(idx == i, jnp.asarray(v, dtype), out)
+    return out
+
+
 def _kernel(
-    # scalar prefetch (all 1-D per-roi vectors: 2-D SMEM operands pad the
-    # minor dim to 128 and blow the SMEM budget)
-    img_ref,  # (R,) i32
-    y0_ref,  # (R,) i32 window origin row in the STACKED buffer
-    x0_ref,  # (R,) i32
-    sh_ref,  # (R,) f32 start_h
+    # scalar prefetch (1-D per-roi vectors: 2-D SMEM operands pad the
+    # minor dim to 128 and blow the SMEM budget). Everything integral is
+    # bit-packed into two words and the per-SECTION geometry (level dims,
+    # stacked-row offsets) lives in static where-chain tables, so the
+    # budget is 6 x 4B x B*R — batch 32 x 1000 rois = 768KB < 1MB SMEM
+    # (13 unpacked vectors were 1.66MB and failed to compile).
+    meta1_ref,  # (R,) i32: img (16b) | section (5b) | portrait|wide|tall (3b)
+    meta2_ref,  # (R,) i32: y0 in LEVEL coords (16b) | x0 (16b, 8-aligned)
+    sh_ref,  # (R,) f32 start_h (oriented frame)
     sw_ref,  # (R,) f32 start_w
     bh_ref,  # (R,) f32 bin_h
     bw_ref,  # (R,) f32 bin_w
-    hl_ref,  # (R,) f32 level H
-    wl_ref,  # (R,) f32 level W
-    por_ref,  # (R,) i32 portrait flag
-    wide_ref,  # (R,) i32: roi needs window columns beyond WIN_W_LO
-    tall_ref,  # (R,) i32: roi needs window rows beyond HALF_H
-    y0l_ref,  # (R,) i32 window origin row in LEVEL coordinates (interp origin)
     # input (HBM): the stacked (B, sum_sections_H, max_W, C) pyramid
     f,
     out_ref,
@@ -83,6 +90,9 @@ def _kernel(
     out_size: int,
     sample_num: int,
     rb: int,
+    row_off: tuple,  # static per-section row offset in the stacked buffer
+    sec_h: tuple,  # static per-section ORIENTED level height (f32)
+    sec_w: tuple,  # static per-section ORIENTED level width (f32)
 ):
     blk = pl.program_id(0)
 
@@ -103,12 +113,18 @@ def _kernel(
         buffer degrades to per-row descriptors): the hi width half only
         for wide-aspect rois, the bottom row half only for tall windows —
         most rois (small objects routed to their FPN level) touch only the
-        top-left quadrant, quartering HBM traffic. y0 already carries the
-        roi's (level, orientation) section row offset, so the transfer
-        source is data-independent — no conditional buffer dispatch."""
-        img = img_ref[ri]
-        y0 = y0_ref[ri]
-        x0 = x0_ref[ri]
+        top-left quadrant, quartering HBM traffic. y0's (level, orientation)
+        section row offset comes from the static row_off table, so the
+        transfer source is data-independent — no conditional buffer
+        dispatch."""
+        m1 = meta1_ref[ri]
+        m2 = meta2_ref[ri]
+        img = m1 & 0xFFFF
+        src = (m1 >> 16) & 0x1F
+        wide = ((m1 >> 22) & 1) > 0
+        tall = ((m1 >> 23) & 1) > 0
+        y0 = (m2 & 0xFFFF) + _sel_table(src, row_off, jnp.int32)
+        x0 = (m2 >> 16) & 0xFFFF
         x0lo = pl.multiple_of(x0, 8)
         x0hi = pl.multiple_of(x0 + WIN_W_LO, 8)
 
@@ -123,7 +139,7 @@ def _kernel(
         lo_b = quad(x0lo, WIN_W_LO, win_lo, HALF_H, 1)
         hi_t = quad(x0hi, WIN_W - WIN_W_LO, win_hi, 0, 2)
         hi_b = quad(x0hi, WIN_W - WIN_W_LO, win_hi, HALF_H, 3)
-        return (lo_t, lo_b, hi_t, hi_b), wide_ref[ri] > 0, tall_ref[ri] > 0
+        return (lo_t, lo_b, hi_t, hi_b), wide, tall
 
     # issue all rb window DMAs up front (the DMA engine pipelines them;
     # compute of roi j overlaps the later transfers)
@@ -151,24 +167,26 @@ def _kernel(
         for_each_dma(r, j, lambda d: d.wait())
 
         _compute_one_roi(
-            r, j, img_ref, y0l_ref, x0_ref, sh_ref, sw_ref, bh_ref,
-            bw_ref, hl_ref, wl_ref, por_ref, wide_ref, win_lo, win_hi,
-            hi_sc, out_ref, out_size, sample_num,
+            r, j, meta1_ref, meta2_ref, sh_ref, sw_ref, bh_ref,
+            bw_ref, win_lo, win_hi, hi_sc, out_ref, out_size, sample_num,
+            sec_h, sec_w,
         )
 
 
 def _compute_one_roi(
-    r, j, img_ref, y0_ref, x0_ref, sh_ref, sw_ref, bh_ref, bw_ref,
-    hl_ref, wl_ref, por_ref, wide_ref, win_lo, win_hi, hi_sc, out_ref,
-    out_size, sample_num,
+    r, j, meta1_ref, meta2_ref, sh_ref, sw_ref, bh_ref, bw_ref,
+    win_lo, win_hi, hi_sc, out_ref, out_size, sample_num, sec_h, sec_w,
 ):
+    m1 = meta1_ref[r]
+    m2 = meta2_ref[r]
+    src = (m1 >> 16) & 0x1F
     start_h = sh_ref[r]
     start_w = sw_ref[r]
     bin_h = bh_ref[r]
     bin_w = bw_ref[r]
-    h_l = hl_ref[r]
-    w_l = wl_ref[r]
-    portrait = por_ref[r] > 0
+    h_l = _sel_table(src, sec_h, jnp.float32)
+    w_l = _sel_table(src, sec_w, jnp.float32)
+    portrait = ((m1 >> 21) & 1) > 0
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (out_size, 1), 0).astype(
         jnp.float32
@@ -200,8 +218,8 @@ def _compute_one_roi(
             m_sum = m_sum + jnp.where(valid, m, 0.0)
         return m_sum / sample_num
 
-    y0f = y0_ref[r].astype(jnp.float32)
-    x0f = x0_ref[r].astype(jnp.float32)
+    y0f = (m2 & 0xFFFF).astype(jnp.float32)  # window origin in LEVEL coords
+    x0f = ((m2 >> 16) & 0xFFFF).astype(jnp.float32)
     wy = interp_matrix(start_h, bin_h, h_l, y0f, WIN_H)  # (os, WIN_H)
     wx = interp_matrix(start_w, bin_w, w_l, x0f, WIN_W)  # (os, WIN_W)
 
@@ -242,7 +260,7 @@ def _compute_one_roi(
     # narrow rois skip the matmuls entirely (not just mask the result):
     # the hi term goes through a small scratch that the narrow branch
     # zero-fills instead (a 50KB VPU store vs an MXU stream).
-    wide = wide_ref[r] > 0
+    wide = ((m1 >> 22) & 1) > 0
 
     @pl.when(wide)
     def _():
@@ -347,9 +365,25 @@ def _forward(
     sections = [pad_min(f, WIN_H, max_w) for f in sections]
     row_off = np.cumsum([0] + [f.shape[1] for f in sections[:-1]]).astype(np.int32)
     stacked = jnp.concatenate(sections, axis=1)
-    y0_local = y0
-    tall = (end_cell_h - y0_local) >= HALF_H
-    y0 = y0 + jnp.asarray(row_off)[src]
+    tall = (end_cell_h - y0) >= HALF_H
+
+    # static per-section geometry (the kernel indexes these by the 5-bit
+    # section id instead of burning three more scalar-prefetch vectors):
+    # oriented level dims — transposed sections swap H and W
+    lvl_h = [float(f.shape[1]) for f in feats]
+    lvl_w = [float(f.shape[2]) for f in feats]
+    sec_h = tuple(lvl_h + lvl_w)
+    sec_w = tuple(lvl_w + lvl_h)
+    assert b < (1 << 16) and max(s.shape[1] for s in sections) < (1 << 16)
+    assert max_w < (1 << 16) and len(sections) <= (1 << 5)
+    meta1 = (
+        img_idx.astype(jnp.int32)
+        | (src.astype(jnp.int32) << 16)
+        | (portrait.astype(jnp.int32) << 21)
+        | (wide.astype(jnp.int32) << 22)
+        | (tall.astype(jnp.int32) << 23)
+    )
+    meta2 = y0.astype(jnp.int32) | (x0.astype(jnp.int32) << 16)
 
     rb = _rois_per_block(out_size, jnp.dtype(feats[0].dtype).itemsize)
     n_rois = b * r
@@ -360,7 +394,7 @@ def _forward(
         pad1 = lambda a: a
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=13,
+        num_scalar_prefetch=6,
         grid=((n_rois + n_pad) // rb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -376,26 +410,23 @@ def _forward(
         ],
     )
     samples = pl.pallas_call(
-        functools.partial(_kernel, out_size=out_size, sample_num=sample_num, rb=rb),
+        functools.partial(
+            _kernel, out_size=out_size, sample_num=sample_num, rb=rb,
+            row_off=tuple(int(v) for v in row_off),
+            sec_h=sec_h, sec_w=sec_w,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_rois + n_pad, out_size, out_size, c), jnp.float32
         ),
         interpret=interpret,
     )(
-        pad1(img_idx.astype(jnp.int32)),
-        pad1(y0.astype(jnp.int32)),
-        pad1(x0.astype(jnp.int32)),
+        pad1(meta1),
+        pad1(meta2),
         pad1(o_start_h),
         pad1(o_start_w),
         pad1(o_bin_h),
         pad1(o_bin_w),
-        pad1(o_h),
-        pad1(o_w),
-        pad1(portrait.astype(jnp.int32)),
-        pad1(wide.astype(jnp.int32)),
-        pad1(tall.astype(jnp.int32)),
-        pad1(y0_local.astype(jnp.int32)),
         stacked,
     )[:n_rois]
 
