@@ -15,12 +15,33 @@ step with psum over a `jax.sharding.Mesh`, and Pallas kernels for the hot ops
 __version__ = "0.1.0"
 
 
+def apply_platform_override() -> None:
+    """Honor BAGS_PLATFORM=cpu|tpu for CLI runs.
+
+    `env JAX_PLATFORMS=cpu` alone cannot force the backend on hosts whose
+    sitecustomize registers a TPU PJRT plugin and REWRITES the env var
+    inside every process; jax.config.update("jax_platforms", ...) wins
+    over the env, so a separate variable the site hook does not touch is
+    the only reliable CLI-level override (tests/conftest.py does the same
+    forcing for the test suite).
+    """
+    import os
+
+    plat = os.environ.get("BAGS_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Enable JAX's persistent compilation cache (big win on the remote-TPU
-    tunnel and for repeated CLI runs)."""
+    tunnel and for repeated CLI runs). Also applies BAGS_PLATFORM."""
     import os
 
     import jax
+
+    apply_platform_override()
 
     path = path or os.environ.get(
         "BAGS_COMPILE_CACHE", os.path.expanduser("~/.cache/bags_jax")
