@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Run the BAGS ablation matrix on a synthetic long-tailed dataset.
+
+The repo-native analogue of the reference's headline experiment
+(/root/reference/README.md:225-238: Faster R-CNN R50 on LVIS v0.5,
+baseline 20.98 bbox mAP -> BAGS 25.96, the gain concentrated in
+rare/common classes): train the plain-softmax baseline on a power-law
+synthetic set (tools/make_longtail.py), then the BAGS phase-2 fine-tune
+(GS head warm-started from the baseline, --selectp 1 = only fc_cls
+trains, tools/train.py:49-57 upstream), plus the standard long-tail
+baselines — tau-normalization of the baseline classifier at test time and
+repeat-factor sampling — and report AP/APr/APc/APf per configuration.
+
+Usage:
+  python tools/make_longtail.py --out /tmp/synlt --train-images 400
+  python tools/gs_partition.py --ann /tmp/synlt/train.json \
+      --out /tmp/synlt/part.npz --num-classes 49 --thresholds 8 40 200
+  python tools/run_longtail_ablation.py --data /tmp/synlt \
+      --work-dir /tmp/ablation --epochs 12
+
+Writes <work-dir>/ablation.md and ablation.json; each step is skipped if
+its output already exists, so an interrupted matrix resumes where it
+stopped.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, ".")
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True, help="make_longtail.py output dir")
+    p.add_argument("--work-dir", required=True)
+    p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--ft-epochs", type=int, default=None,
+                   help="phase-2 epochs (default: same as --epochs; the "
+                        "reference trains the full schedule again)")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--scale", type=int, nargs=2, default=(320, 320))
+    p.add_argument("--warmup-iters", type=int, default=100)
+    p.add_argument("--tau", type=float, default=1.0)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--skip", nargs="*", default=[],
+                   help="row names to skip (baseline gs tau rfs)")
+    return p.parse_args()
+
+
+def run(cmd):
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True)
+
+
+def train(args, name, model, extra, epochs):
+    wd = os.path.join(args.work_dir, name)
+    ckpt = os.path.join(wd, f"ckpt_epoch_{epochs}")
+    if os.path.exists(ckpt):
+        print(f"[{name}] checkpoint exists, skipping train")
+        return ckpt
+    run([
+        sys.executable, "tools/train.py", "--model", model,
+        "--ann", os.path.join(args.data, "train.json"),
+        "--img-prefix", os.path.join(args.data, "images"),
+        "--work-dir", wd, "--batch-size", str(args.batch_size),
+        "--lr", str(args.lr), "--epochs", str(epochs),
+        "--lr-steps", str(max(epochs - 4, 1)), str(max(epochs - 1, 2)),
+        "--warmup-iters", str(args.warmup_iters),
+        "--scale", str(args.scale[0]), str(args.scale[1]),
+        "--dtype", args.dtype, "--log-interval", "10",
+        "--save-interval", "100",  # only the final checkpoint
+    ] + extra)
+    return ckpt
+
+
+def evaluate(args, name, model, ckpt, extra):
+    out = os.path.join(args.work_dir, f"res_{name}.json")
+    if not os.path.exists(out):
+        run([
+            sys.executable, "tools/test_lvis.py", "--model", model,
+            "--ann", os.path.join(args.data, "val.json"),
+            "--img-prefix", os.path.join(args.data, "images"),
+            "--checkpoint", ckpt, "--batch-size", str(args.batch_size),
+            "--scale", str(args.scale[0]), str(args.scale[1]),
+            "--out", out, "--no-eval",
+        ] + extra)
+    from balancedgroupsoftmax_tpu.eval.lvis_eval import LvisEvaluator
+
+    with open(os.path.join(args.data, "val.json")) as f:
+        gt = json.load(f)
+    with open(out) as f:
+        dets = json.load(f)
+    ev = LvisEvaluator(gt, dets)
+    ev.run()
+    keys = ("AP", "AP50", "APr", "APc", "APf")
+    row = {k: round(ev.results[k] * 100, 2) for k in keys}
+    print(f"[{name}] {row}", flush=True)
+    return row
+
+
+def main():
+    args = parse_args()
+    os.makedirs(args.work_dir, exist_ok=True)
+    part = os.path.join(args.data, "part.npz")
+    assert os.path.exists(part), f"run tools/gs_partition.py first ({part})"
+    ft_epochs = args.ft_epochs or args.epochs
+    rows = {}
+
+    # 1. plain softmax baseline (phase 1)
+    base_ckpt = train(args, "baseline", "faster_rcnn_r50", ["--selectp", "0"],
+                      args.epochs)
+    if "baseline" not in args.skip:
+        rows["baseline"] = evaluate(args, "baseline", "faster_rcnn_r50",
+                                    base_ckpt, [])
+
+    # 2. tau-normalized baseline classifier (test-time calibration,
+    #    tools/test_lvis.py:135 upstream)
+    if "tau" not in args.skip:
+        rows[f"tau={args.tau}"] = evaluate(
+            args, "tau", "faster_rcnn_r50", base_ckpt, ["--tau", str(args.tau)]
+        )
+
+    # 3. BAGS: GS head fine-tune from the baseline (phase 2)
+    if "gs" not in args.skip:
+        gs_ckpt = train(
+            args, "gs", "gs_faster_rcnn_r50",
+            ["--selectp", "1", "--load-from", base_ckpt, "--partition", part],
+            ft_epochs,
+        )
+        rows["gs (BAGS)"] = evaluate(
+            args, "gs", "gs_faster_rcnn_r50", gs_ckpt, ["--partition", part]
+        )
+
+    # 4. repeat-factor sampling baseline (LVIS paper resampling)
+    if "rfs" not in args.skip:
+        rfs_ckpt = train(args, "rfs", "faster_rcnn_r50",
+                         ["--selectp", "0", "--use-rfs"], args.epochs)
+        rows["rfs"] = evaluate(args, "rfs", "faster_rcnn_r50", rfs_ckpt, [])
+
+    with open(os.path.join(args.work_dir, "ablation.json"), "w") as f:
+        json.dump(rows, f, indent=1)
+    lines = [
+        "| config | AP | AP50 | APr | APc | APf |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, r in rows.items():
+        lines.append(
+            f"| {name} | {r['AP']:.2f} | {r['AP50']:.2f} | {r['APr']:.2f} "
+            f"| {r['APc']:.2f} | {r['APf']:.2f} |"
+        )
+    table = "\n".join(lines)
+    with open(os.path.join(args.work_dir, "ablation.md"), "w") as f:
+        f.write(table + "\n")
+    print(table)
+
+
+if __name__ == "__main__":
+    main()
