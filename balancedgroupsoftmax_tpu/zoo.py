@@ -105,6 +105,24 @@ def cascade_rcnn_x101_64x4d_fpn_lvis(
     return det, TrainConfig(selectp=3 if use_gs else 0)
 
 
+def cascade_rcnn_r50_fpn_lvis(
+    num_classes: int = 1231, use_gs: bool = False, partition_path: Optional[str] = None
+) -> Tuple[DetectorConfig, TrainConfig]:
+    """configs/cascade_rcnn_r50_fpn_1x.py equivalent, on the LVIS class
+    set (the reference ships the R50 cascade alongside the X101 BAGS
+    variant); also the CPU-testable cascade for the e2e suite."""
+    det = DetectorConfig(
+        backbone=BackboneConfig(depth=50),
+        bbox_head=BBoxHeadConfig(
+            num_classes=num_classes,
+            use_gs=use_gs,
+            gs=GSConfig(partition_path=partition_path),
+        ),
+        cascade=CascadeConfig(),
+    )
+    return det, TrainConfig(selectp=3 if use_gs else 0)
+
+
 def htc_x101_64x4d_fpn_lvis(
     num_classes: int = 1231,
     use_gs: bool = False,

@@ -72,7 +72,11 @@ def mini_lvis(tmp_path_factory):
 
 def run_cli(args, cwd=REPO, timeout=1200):
     env = dict(os.environ)
+    # JAX_PLATFORMS gets rewritten to the TPU backend by the image's
+    # sitecustomize inside the child; BAGS_PLATFORM is applied via
+    # jax.config by the CLIs and actually sticks
     env["JAX_PLATFORMS"] = "cpu"
+    env["BAGS_PLATFORM"] = "cpu"
     env["BAGS_FORCE_XLA"] = "1"
     env["PYTHONPATH"] = REPO
     # tiny model via env override is not supported; rely on small image count
@@ -228,3 +232,35 @@ def test_dataset_surgery_merge_coco(mini_lvis, tmp_path):
     base = json.loads(open(mini_lvis["ann"]).read())
     base_c2 = sum(a["category_id"] == 2 for a in base["annotations"])
     assert c2["instance_count"] == base_c2 + 2
+
+
+@pytest.mark.slow
+def test_cascade_aug_rescore_cli(mini_lvis, tmp_path):
+    """Cascade family through the shared-proposal TTA CLI path: train one
+    step of cascade_rcnn_r50, then --aug-rescore inference (the round-1
+    gap where propose/rescore existed only on FasterRCNN and any cascade
+    model crashed the aug path at runtime)."""
+    work = str(tmp_path / "casc")
+    run_cli(
+        [
+            "tools/train.py", "--model", "cascade_rcnn_r50",
+            "--ann", mini_lvis["ann"], "--img-prefix", mini_lvis["img_prefix"],
+            "--work-dir", work, "--batch-size", "2", "--epochs", "1",
+            "--max-steps", "1", "--log-interval", "1",
+        ],
+        timeout=2400,
+    )
+    ckpts = [f for f in os.listdir(work) if f.startswith("ckpt_epoch")]
+    assert ckpts
+    stdout = run_cli(
+        [
+            "tools/test_lvis.py", "--model", "cascade_rcnn_r50",
+            "--ann", mini_lvis["ann"], "--img-prefix", mini_lvis["img_prefix"],
+            "--checkpoint", os.path.join(work, ckpts[0]),
+            "--out", str(tmp_path / "res_casc.json"),
+            "--batch-size", "2", "--limit", "2", "--aug-rescore",
+        ],
+        timeout=2400,
+    )
+    assert "AP" in stdout or "| (AP)" in stdout
+    assert os.path.exists(tmp_path / "res_casc.json")

@@ -32,7 +32,8 @@ def parse_args():
     p.add_argument("--model", default="faster_rcnn_r50",
                    choices=["faster_rcnn_r50", "gs_faster_rcnn_r50",
                             "faster_rcnn_x101", "mask_rcnn_r50",
-                            "gs_mask_rcnn_r50", "cascade_rcnn_x101",
+                            "gs_mask_rcnn_r50", "cascade_rcnn_r50",
+                            "gs_cascade_rcnn_r50", "cascade_rcnn_x101",
                             "gs_cascade_rcnn_x101", "htc_x101",
                             "gs_htc_x101", "gs_htc_dcn_x101"])
     p.add_argument("--ann", required=True)
@@ -127,6 +128,8 @@ def main():
         "faster_rcnn_x101": zoo.faster_rcnn_x101_64x4d_fpn_lvis,
         "mask_rcnn_r50": zoo.mask_rcnn_r50_fpn_lvis,
         "gs_mask_rcnn_r50": lambda **kw: zoo.mask_rcnn_r50_fpn_lvis(use_gs=True, **kw),
+        "cascade_rcnn_r50": zoo.cascade_rcnn_r50_fpn_lvis,
+        "gs_cascade_rcnn_r50": lambda **kw: zoo.cascade_rcnn_r50_fpn_lvis(use_gs=True, **kw),
         "cascade_rcnn_x101": zoo.cascade_rcnn_x101_64x4d_fpn_lvis,
         "gs_cascade_rcnn_x101": lambda **kw: zoo.cascade_rcnn_x101_64x4d_fpn_lvis(use_gs=True, **kw),
         "htc_x101": zoo.htc_x101_64x4d_fpn_lvis,
