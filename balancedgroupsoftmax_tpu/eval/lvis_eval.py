@@ -81,10 +81,16 @@ class LvisEvaluator:
         iou_type: str = "bbox",
         max_dets: int = 300,
         compute_mask_iou=None,  # callable(dt_masks, gt_anns) for segm
+        federated: bool = True,
     ):
+        """federated=False evaluates COCO-protocol (every category scored
+        on every image): COCO/Cityscapes-schema files carry no
+        neg_category_ids, so the LVIS federated filter would silently
+        delete every cross-class false positive and inflate AP."""
         assert iou_type in ("bbox", "segm")
         self.iou_type = iou_type
         self.max_dets = max_dets
+        self.federated = federated
         self.compute_mask_iou = compute_mask_iou
         self.results = OrderedDict()
 
@@ -131,12 +137,14 @@ class LvisEvaluator:
             for i in gt_data["images"]
         }
 
-        # federated filter on detections (eval.py:99-104)
-        for (img_id, cat_id) in list(self.dts_by_img_cat.keys()):
-            if cat_id not in self.img_nl.get(img_id, set()) and cat_id not in img_pl[
-                img_id
-            ]:
-                del self.dts_by_img_cat[(img_id, cat_id)]
+        # federated filter on detections (eval.py:99-104); COCO protocol
+        # keeps everything — cross-class FPs must count
+        if self.federated:
+            for (img_id, cat_id) in list(self.dts_by_img_cat.keys()):
+                if cat_id not in self.img_nl.get(img_id, set()) and cat_id not in img_pl[
+                    img_id
+                ]:
+                    del self.dts_by_img_cat[(img_id, cat_id)]
 
         # frequency groups (eval.py:107-114); fall back to image_count bins
         self.freq_groups = [[], [], []]

@@ -85,11 +85,17 @@ class CascadeRCNN(nn.Module):
         outs = [h(dummy) for h in self.bbox_heads]
         return rpn_outs, outs
 
-    def _anchors(self):
+    def _anchors(self, images):
+        # anchor grid sizes come from the ACTUAL padded batch shape, not
+        # the config default: the pipeline emits TWO static buckets
+        # (landscape/portrait) and jit retraces per shape — anchors built
+        # from a fixed cfg.image_size would silently transpose for
+        # whichever bucket the config does not match (equal per-level
+        # anchor counts, so nothing crashes — RPN targets are just wrong)
         from ..core.anchors import multilevel_anchors
 
         c = self.cfg
-        h, w = c.image_size
+        h, w = images.shape[1], images.shape[2]
         sizes = [(-(-h // s), -(-w // s)) for s in c.anchors.strides]
         return [
             jnp.asarray(a)
@@ -125,7 +131,7 @@ class CascadeRCNN(nn.Module):
         key = self.make_rng("sampling")
         feats = self.extract_feats(images)
         rpn_outs = self.rpn_head(feats)
-        anchors = self._anchors()
+        anchors = self._anchors(images)
         anchors_flat = jnp.concatenate(anchors, axis=0)
 
         k_rpn, key = jax.random.split(key)
@@ -135,7 +141,7 @@ class CascadeRCNN(nn.Module):
             jnp.ones(anchors_flat.shape[0], bool),
             gt_boxes,
             gt_mask,
-            c.image_size,
+            (images.shape[1], images.shape[2]),
             jax.random.split(k_rpn, b),
             c.rpn_train,
         )
@@ -268,7 +274,7 @@ class CascadeRCNN(nn.Module):
         c = self.cfg
         feats = self.extract_feats(images)
         rpn_outs = self.rpn_head(feats)
-        anchors = self._anchors()
+        anchors = self._anchors(images)
         proposals = rpn_proposals_batched(
             rpn_outs, anchors, img_shapes, c.rpn_proposal_test
         )
@@ -306,7 +312,7 @@ class CascadeRCNN(nn.Module):
         step of aug_test_rpn, test_mixins.py:21-36; caller merges)."""
         feats = self.extract_feats(images)
         rpn_outs = self.rpn_head(feats)
-        anchors = self._anchors()
+        anchors = self._anchors(images)
         return rpn_proposals_batched(
             rpn_outs, anchors, img_shapes, self.cfg.rpn_proposal_test
         )

@@ -100,9 +100,15 @@ class FasterRCNN(nn.Module):
         return rpn_outs, cls, reg
 
     # --- anchors (host-side constants, folded by XLA) --------------------
-    def _anchors(self):
+    def _anchors(self, images):
+        # anchor grid sizes come from the ACTUAL padded batch shape, not
+        # the config default: the pipeline emits TWO static buckets
+        # (landscape/portrait) and jit retraces per shape — anchors built
+        # from a fixed cfg.image_size would silently transpose for
+        # whichever bucket the config does not match (equal per-level
+        # anchor counts, so nothing crashes — RPN targets are just wrong)
         c = self.cfg
-        h, w = c.image_size
+        h, w = images.shape[1], images.shape[2]
         sizes = [(-(-h // s), -(-w // s)) for s in c.anchors.strides]
         per_level = multilevel_anchors(
             sizes, c.anchors.strides, c.anchors.scales, c.anchors.ratios
@@ -127,7 +133,7 @@ class FasterRCNN(nn.Module):
         feats = self.extract_feats(images)
         rpn_outs = self.rpn_head(feats)
 
-        anchors = self._anchors()
+        anchors = self._anchors(images)
         anchors_flat = jnp.concatenate(anchors, axis=0)
         anchor_valid = jnp.ones(anchors_flat.shape[0], dtype=bool)
 
@@ -138,7 +144,7 @@ class FasterRCNN(nn.Module):
             anchor_valid,
             gt_boxes,
             gt_mask,
-            c.image_size,
+            (images.shape[1], images.shape[2]),
             jax.random.split(k_rpn, b),
             c.rpn_train,
         )
@@ -291,7 +297,7 @@ class FasterRCNN(nn.Module):
         c = self.cfg
         feats = self.extract_feats(images)
         rpn_outs = self.rpn_head(feats)
-        anchors = self._anchors()
+        anchors = self._anchors(images)
 
         proposals = rpn_proposals_batched(
             rpn_outs, anchors, img_shapes, c.rpn_proposal_test
@@ -352,7 +358,7 @@ class FasterRCNN(nn.Module):
         frame and merges across views (merge_augs.py:8-45)."""
         feats = self.extract_feats(images)
         rpn_outs = self.rpn_head(feats)
-        anchors = self._anchors()
+        anchors = self._anchors(images)
         return rpn_proposals_batched(
             rpn_outs, anchors, img_shapes, self.cfg.rpn_proposal_test
         )

@@ -111,9 +111,11 @@ class FCOS(nn.Module):
     def __call__(self, images):
         return self.head(self.extract(images))
 
-    def _level_points(self):
+    def _level_points(self, images):
         c = self.cfg
-        h, w = c.image_size
+        # grid sizes from the ACTUAL padded batch (portrait buckets would
+        # otherwise get a transposed point grid; see detector._anchors)
+        h, w = images.shape[1], images.shape[2]
         pts, ranges, strides = [], [], []
         for s, rr in zip(c.strides, c.regress_ranges):
             lh, lw = -(-h // s), -(-w // s)
@@ -131,7 +133,7 @@ class FCOS(nn.Module):
         c = self.cfg
         num_fg = c.num_classes - 1
         outs = self.head(self.extract(images))
-        points, ranges, _ = self._level_points()  # (P, 2), (P, 2)
+        points, ranges, _ = self._level_points(images)  # (P, 2), (P, 2)
 
         def one_image(gb, gl, gm):
             # ltrb of every point to every gt (P, G, 4)
@@ -205,7 +207,7 @@ class FCOS(nn.Module):
         c = self.cfg
         num_fg = c.num_classes - 1
         outs = self.head(self.extract(images))
-        points, _, _ = self._level_points()
+        points, _, _ = self._level_points(images)
         b = images.shape[0]
 
         offset = 0

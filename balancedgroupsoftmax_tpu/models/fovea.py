@@ -99,9 +99,11 @@ class FoveaBox(nn.Module):
     def __call__(self, images):
         return self.head(self.extract(images))
 
-    def _level_meta(self):
+    def _level_meta(self, images):
         c = self.cfg
-        h, w = c.image_size
+        # grid sizes from the ACTUAL padded batch (portrait buckets would
+        # otherwise get a transposed point grid; see detector._anchors)
+        h, w = images.shape[1], images.shape[2]
         pts, bases, ranges = [], [], []
         for s, be, rr in zip(c.strides, c.base_edges, c.scale_ranges):
             lh, lw = -(-h // s), -(-w // s)
@@ -119,7 +121,7 @@ class FoveaBox(nn.Module):
         c = self.cfg
         num_fg = c.num_classes - 1
         outs = self.head(self.extract(images))
-        points, bases, ranges = self._level_meta()
+        points, bases, ranges = self._level_meta(images)
 
         def one_image(gb, gl, gm):
             xs = points[:, 0][:, None]
@@ -178,7 +180,7 @@ class FoveaBox(nn.Module):
         c = self.cfg
         num_fg = c.num_classes - 1
         outs = self.head(self.extract(images))
-        points, bases, _ = self._level_meta()
+        points, bases, _ = self._level_meta(images)
         b = images.shape[0]
         offset = 0
         boxes_all, scores_all = [], []

@@ -142,9 +142,11 @@ class GARPN(nn.Module):
     def __call__(self, images):
         return self.head(self.extract(images))
 
-    def _meta(self):
+    def _meta(self, images):
         c = self.cfg
-        h, w = c.image_size
+        # grid sizes from the ACTUAL padded batch (portrait buckets would
+        # otherwise get a transposed point grid; see detector._anchors)
+        h, w = images.shape[1], images.shape[2]
         pts, strides, lvls = [], [], []
         for li, s in enumerate(c.strides):
             lh, lw = -(-h // s), -(-w // s)
@@ -161,7 +163,7 @@ class GARPN(nn.Module):
         c = self.cfg
         b = images.shape[0]
         outs = self.head(self.extract(images))
-        points, strides, lvls = self._meta()
+        points, strides, lvls = self._meta(images)
 
         loc_logits = jnp.concatenate(
             [o[0].astype(jnp.float32).reshape(b, -1) for o in outs], axis=1
@@ -232,7 +234,7 @@ class GARPN(nn.Module):
         c = self.cfg
         b = images.shape[0]
         outs = self.head(self.extract(images))
-        points, strides, _ = self._meta()
+        points, strides, _ = self._meta(images)
         loc = jnp.concatenate(
             [jax.nn.sigmoid(o[0].astype(jnp.float32)).reshape(b, -1) for o in outs],
             axis=1,

@@ -100,11 +100,17 @@ class HTC(nn.Module):
     def extract_feats(self, images):
         return self.neck(self.backbone(images))
 
-    def _anchors(self):
+    def _anchors(self, images):
+        # anchor grid sizes come from the ACTUAL padded batch shape, not
+        # the config default: the pipeline emits TWO static buckets
+        # (landscape/portrait) and jit retraces per shape — anchors built
+        # from a fixed cfg.image_size would silently transpose for
+        # whichever bucket the config does not match (equal per-level
+        # anchor counts, so nothing crashes — RPN targets are just wrong)
         from ..core.anchors import multilevel_anchors
 
         c = self.cfg
-        h, w = c.image_size
+        h, w = images.shape[1], images.shape[2]
         sizes = [(-(-h // s), -(-w // s)) for s in c.anchors.strides]
         return [
             jnp.asarray(a)
@@ -197,7 +203,7 @@ class HTC(nn.Module):
         step of aug_test_rpn, test_mixins.py:21-36; caller merges)."""
         feats = self.extract_feats(images)
         rpn_outs = self.rpn_head(feats)
-        anchors = self._anchors()
+        anchors = self._anchors(images)
         return rpn_proposals_batched(
             rpn_outs, anchors, img_shapes, self.cfg.rpn_proposal_test
         )
@@ -244,13 +250,14 @@ class HTC(nn.Module):
         feats = self.extract_feats(images)
         rpn_outs = self.rpn_head(feats)
         seg_logits, sem_feat = self.semantic_head(feats)
-        anchors = self._anchors()
+        anchors = self._anchors(images)
         anchors_flat = jnp.concatenate(anchors, axis=0)
 
         k_rpn, key = jax.random.split(key)
         loss_rpn_cls, loss_rpn_bbox = rpn_loss(
             rpn_outs, anchors_flat, jnp.ones(anchors_flat.shape[0], bool),
-            gt_boxes, gt_mask, c.image_size, jax.random.split(k_rpn, b), c.rpn_train,
+            gt_boxes, gt_mask, (images.shape[1], images.shape[2]),
+            jax.random.split(k_rpn, b), c.rpn_train,
         )
         losses = {"loss_rpn_cls": loss_rpn_cls, "loss_rpn_bbox": loss_rpn_bbox}
         if gt_semantic_seg is not None:
@@ -393,7 +400,7 @@ class HTC(nn.Module):
         feats = self.extract_feats(images)
         rpn_outs = self.rpn_head(feats)
         _, sem_feat = self.semantic_head(feats)
-        anchors = self._anchors()
+        anchors = self._anchors(images)
         proposals = rpn_proposals_batched(
             rpn_outs, anchors, img_shapes, c.rpn_proposal_test
         )

@@ -156,9 +156,11 @@ class RepPoints(nn.Module):
     def __call__(self, images):
         return self.head(self.extract(images))
 
-    def _meta(self):
+    def _meta(self, images):
         c = self.cfg
-        h, w = c.image_size
+        # grid sizes from the ACTUAL padded batch (portrait buckets would
+        # otherwise get a transposed point grid; see detector._anchors)
+        h, w = images.shape[1], images.shape[2]
         pts, strides, lvl_ids = [], [], []
         for li, s in enumerate(c.strides):
             lh, lw = -(-h // s), -(-w // s)
@@ -176,7 +178,7 @@ class RepPoints(nn.Module):
         c = self.cfg
         num_fg = c.num_classes - 1
         outs = self.head(self.extract(images))
-        centers, strides, lvl_ids = self._meta()
+        centers, strides, lvl_ids = self._meta(images)
         b = images.shape[0]
 
         cls_logits = jnp.concatenate(
@@ -259,7 +261,7 @@ class RepPoints(nn.Module):
         c = self.cfg
         num_fg = c.num_classes - 1
         outs = self.head(self.extract(images))
-        centers, strides, _ = self._meta()
+        centers, strides, _ = self._meta(images)
         b = images.shape[0]
         offset = 0
         boxes_all, scores_all = [], []

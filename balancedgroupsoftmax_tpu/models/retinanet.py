@@ -122,9 +122,11 @@ class RetinaNet(nn.Module):
     def __call__(self, images):
         return self.head(self.extract(images))
 
-    def _anchors(self):
+    def _anchors(self, images):
+        # grid sizes from the actual padded batch shape (see detector.py
+        # _anchors — a fixed cfg.image_size transposes portrait buckets)
         c = self.cfg
-        h, w = c.image_size
+        h, w = images.shape[1], images.shape[2]
         sizes = [(-(-h // s), -(-w // s)) for s in c.strides]
         return [
             jnp.asarray(a)
@@ -139,7 +141,7 @@ class RetinaNet(nn.Module):
         b = images.shape[0]
         num_fg = c.num_classes - 1
         outs = self.head(self.extract(images))
-        anchors = jnp.concatenate(self._anchors(), axis=0)  # (N, 4)
+        anchors = jnp.concatenate(self._anchors(images), axis=0)  # (N, 4)
 
         def one_image(gb, gl, gm, shape):
             inside = (
@@ -189,7 +191,7 @@ class RetinaNet(nn.Module):
         b = images.shape[0]
         num_fg = c.num_classes - 1
         outs = self.head(self.extract(images))
-        anchors = self._anchors()
+        anchors = self._anchors(images)
 
         def one_image(level_outs, shape, sf):
             boxes_all, scores_all = [], []

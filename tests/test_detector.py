@@ -168,3 +168,41 @@ def test_gs_detector_end_to_end():
     )(variables, batch[0], batch[4])
     assert dets.boxes.shape == (2, 10, 4)
     assert np.isfinite(np.asarray(dets.scores)).all()
+
+
+def test_anchors_follow_batch_shape_not_config(plain_model_and_vars):
+    """Portrait batches must get a portrait anchor grid. The pipeline emits
+    two static buckets (landscape/portrait) into ONE model whose
+    cfg.image_size matches only one of them; anchors built from the config
+    default would silently TRANSPOSE for the other bucket (equal per-level
+    counts, so nothing crashes — RPN targets are just wrong)."""
+    _, model, variables = plain_model_and_vars
+    anchors = model.apply(
+        variables, jnp.zeros((1, 256, 128, 3)), method="_anchors"
+    )
+    from balancedgroupsoftmax_tpu.core.anchors import multilevel_anchors
+
+    cfg = plain_model_and_vars[0]
+    sizes = [(-(-256 // s), -(-128 // s)) for s in cfg.anchors.strides]
+    want = np.concatenate(
+        multilevel_anchors(
+            sizes, cfg.anchors.strides, cfg.anchors.scales, cfg.anchors.ratios
+        )
+    )
+    got = np.concatenate([np.asarray(x) for x in anchors])
+    np.testing.assert_allclose(got, want, err_msg="anchor grid is transposed")
+
+    # and a GT on the long side of a portrait batch must find positives
+    images = jnp.asarray(np.random.RandomState(0).randn(1, 256, 128, 3),
+                         jnp.float32)
+    gt_boxes = jnp.asarray([[[30.0, 190.0, 90.0, 245.0]]])  # y beyond 128
+    losses = jax.jit(
+        lambda v, im, gb, k: model.apply(
+            v, im, gb, jnp.ones((1, 1), jnp.int32), jnp.ones((1, 1), bool),
+            jnp.asarray([[256.0, 128.0]]), method="loss",
+            rngs={"sampling": k},
+        )
+    )(variables, images, gt_boxes, jax.random.PRNGKey(0))
+    assert float(losses["loss_rpn_bbox"]) > 0, (
+        "no positive anchors for a long-side GT — anchor grid is transposed"
+    )

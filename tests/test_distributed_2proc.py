@@ -67,16 +67,7 @@ print("WORKER_OK", pid, flush=True)
 """
 
 
-@pytest.mark.slow
-def test_two_process_distributed(tmp_path):
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("XLA_FLAGS", None)
-    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+def _run_pair(port, env):
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", WORKER, str(port), str(pid)],
@@ -93,6 +84,28 @@ def test_two_process_distributed(tmp_path):
                 q.kill()
             raise
         outs.append(out)
+    return procs, outs
+
+
+@pytest.mark.slow
+def test_two_process_distributed(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # bind-then-close port discovery is a TOCTOU race against other
+    # processes on the host; retry on a fresh port instead of flaking
+    for attempt in range(3):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs, outs = _run_pair(port, env)
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt == 2 or not any(
+            "address" in o.lower() or "bind" in o.lower() for o in outs
+        ):
+            break
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"WORKER_OK {pid}" in out, out

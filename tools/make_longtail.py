@@ -152,15 +152,25 @@ def main():
                 inst_count[cls] += 1
                 img_sets[cls].add(img_id)
             cv2.imwrite(os.path.join(args.out, "images", fname), img)
+            # synthetic images are exhaustively annotated: every absent
+            # category is a TRUE negative, so declare it — otherwise the
+            # federated evaluator never counts cross-class false
+            # positives and the BAGS comparison is too forgiving
+            present = {a["category_id"] for a in annotations
+                       if a["image_id"] == img_id}
             images.append(dict(
                 id=img_id, file_name=fname,
                 width=args.size, height=args.size,
-                neg_category_ids=[], not_exhaustive_category_ids=[],
+                neg_category_ids=sorted(
+                    c for c in range(1, num_classes + 1) if c not in present
+                ),
+                not_exhaustive_category_ids=[],
             ))
         return images, annotations, inst_count, [len(s) for s in img_sets]
 
-    # train first: every class gets at least one guaranteed appearance by
-    # seeding the first ceil(C / max_obj) images round-robin
+    # train split first; the injection loop below guarantees every class
+    # at least one instance (gs_partition and the evaluator need nonempty
+    # bins)
     tr_images, tr_anns, tr_inst, tr_imgc = gen_split(
         "train", args.train_images, balanced=False
     )
@@ -177,7 +187,10 @@ def main():
         img_id = i + 1
         tr_images.append(dict(
             id=img_id, file_name=fname, width=args.size, height=args.size,
-            neg_category_ids=[], not_exhaustive_category_ids=[],
+            neg_category_ids=sorted(
+                c for c in range(1, num_classes + 1) if c != cls
+            ),
+            not_exhaustive_category_ids=[],
         ))
         w, h = x2 - x1, y2 - y1
         tr_anns.append(dict(
@@ -190,8 +203,8 @@ def main():
 
     va_images, va_anns, _, _ = gen_split("val", args.val_images, balanced=True)
 
-    def freq(ic):  # LVIS rule: image_count <10 rare, <100 common, else freq
-        return "r" if ic < 10 else ("c" if ic < 100 else "f")
+    def freq(ic):  # LVIS rule: rare = 1-10 images, common = 11-100, else freq
+        return "r" if ic <= 10 else ("c" if ic <= 100 else "f")
 
     categories = [
         dict(

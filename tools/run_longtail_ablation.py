@@ -78,8 +78,14 @@ def train(args, name, model, extra, epochs):
 
 
 def evaluate(args, name, model, ckpt, extra):
-    out = os.path.join(args.work_dir, f"res_{name}.json")
-    if not os.path.exists(out):
+    # cache key carries the eval flags, and a checkpoint newer than the
+    # cached detections invalidates them — otherwise re-running with a
+    # different --tau or after retraining reports stale numbers under a
+    # fresh row label
+    tag = "_".join([name] + [str(x) for x in extra]).replace("/", "-")
+    out = os.path.join(args.work_dir, f"res_{tag}.json")
+    stale = os.path.exists(out) and os.path.getmtime(out) < os.path.getmtime(ckpt)
+    if not os.path.exists(out) or stale:
         run([
             sys.executable, "tools/test_lvis.py", "--model", model,
             "--ann", os.path.join(args.data, "val.json"),

@@ -514,7 +514,12 @@ def main():
         empty_b = np.zeros((0, 4), np.float32)
         empty_l = np.zeros(0, np.int32)
         if need_raw:
-            img = cv2.cvtColor(cv2.imread(ds.image_path(idx)), cv2.COLOR_BGR2RGB)
+            raw = cv2.imread(ds.image_path(idx))
+            if raw is None:
+                raise ValueError(
+                    f"cannot decode image file: {ds.image_path(idx)}"
+                )
+            img = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
             s = preprocess_image(img, empty_b, empty_l, pcfg, False)
         else:
             img = None
@@ -554,12 +559,15 @@ def main():
             gt["annotations"] = [
                 a for a in gt["annotations"] if a["image_id"] in keep_ids
             ]
-        ev = LvisEvaluator(gt, records)
+        # COCO/Cityscapes-schema files carry no neg_category_ids — LVIS
+        # federated filtering would delete every cross-class FP
+        fed = args.dataset == "lvis"
+        ev = LvisEvaluator(gt, records, federated=fed)
         ev.run()
         print("bbox results:")
         ev.print_results()
         if det_cfg.mask_head is not None and records and "segmentation" in records[0]:
-            ev_m = LvisEvaluator(gt, records, iou_type="segm")
+            ev_m = LvisEvaluator(gt, records, iou_type="segm", federated=fed)
             ev_m.run()
             print("segm results:")
             ev_m.print_results()

@@ -192,7 +192,8 @@ def main():
     pcfg = PipelineConfig(max_gt_boxes=det_cfg.max_gt_boxes)
     if args.scale:
         pcfg = dataclasses.replace(pcfg, scale=(args.scale[0], args.scale[1]))
-        # the model's static anchor grid must match the padded bucket
+        # image_size only sizes the init dummy input now (anchors follow
+        # the traced batch shape per bucket); keep it consistent anyway
         det_cfg = dataclasses.replace(det_cfg, image_size=pcfg.buckets()[0])
     model = build_detector(
         det_cfg, partition=partition, dtype=jnp.dtype(args.dtype)
