@@ -91,6 +91,26 @@ def test_repeat_factors_formula():
     assert (idx == 0).sum() == 2  # integer factor repeats exactly
 
 
+def test_repeat_factors_small_fixture_needs_scaled_t():
+    """The round-2 RFS ablation bug class: on a 401-image fixture the LVIS
+    default t=0.001 sits below every class's image frequency, so every
+    factor is exactly 1 (a silent no-op); the auto-scale rule t=8/n used by
+    run_longtail_ablation.py produces real upsampling of the tail."""
+    rng = np.random.RandomState(0)
+    n = 401
+    # power-law-ish: 5 head classes everywhere, 30 tail classes in 1-5 images
+    labels = [np.array([int(rng.randint(5))]) for _ in range(n)]
+    for c in range(5, 35):
+        for _ in range(1 + int(rng.randint(5))):
+            i = int(rng.randint(n))
+            labels[i] = np.append(labels[i], c)
+    r_default = repeat_factors(labels, num_classes=35, t=0.001)
+    assert (r_default == 1.0).all()  # the no-op regime
+    r_scaled = repeat_factors(labels, num_classes=35, t=8.0 / n)
+    assert (r_scaled > 1.0).any()
+    assert r_scaled.max() > 1.5  # rarest (1-image) class: sqrt(8) ~ 2.83
+
+
 def test_tta_content_flip_matches_pipeline_flip():
     """flip_image_content on a preprocessed (padded) image must equal the
     pipeline's own RandomFlip (applied before Pad) — flipping the padded

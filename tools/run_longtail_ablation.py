@@ -45,6 +45,11 @@ def parse_args():
     p.add_argument("--scale", type=int, nargs=2, default=(320, 320))
     p.add_argument("--warmup-iters", type=int, default=100)
     p.add_argument("--tau", type=float, default=1.0)
+    p.add_argument("--rfs-t", type=float, default=None,
+                   help="RFS threshold t; default auto-scales to the fixture "
+                        "as 8/num_train_images (the LVIS default 0.001 "
+                        "assumes ~57k images — on a 401-image fixture it "
+                        "makes every repeat factor 1, i.e. a silent no-op)")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--skip", nargs="*", default=[],
                    help="row names to skip (baseline gs tau rfs)")
@@ -77,13 +82,13 @@ def train(args, name, model, extra, epochs):
     return ckpt
 
 
-def evaluate(args, name, model, ckpt, extra):
-    # cache key carries the eval flags, and a checkpoint newer than the
+def evaluate(args, name, model, ckpt, extra, tag=None):
+    # cache key: a sanitized row tag (not raw argv — flag syntax and path
+    # fragments make fragile filenames), and a checkpoint newer than the
     # cached detections invalidates them — otherwise re-running with a
     # different --tau or after retraining reports stale numbers under a
     # fresh row label
-    tag = "_".join([name] + [str(x) for x in extra]).replace("/", "-")
-    out = os.path.join(args.work_dir, f"res_{tag}.json")
+    out = os.path.join(args.work_dir, f"res_{tag or name}.json")
     stale = os.path.exists(out) and os.path.getmtime(out) < os.path.getmtime(ckpt)
     if not os.path.exists(out) or stale:
         run([
@@ -127,7 +132,8 @@ def main():
     #    tools/test_lvis.py:135 upstream)
     if "tau" not in args.skip:
         rows[f"tau={args.tau}"] = evaluate(
-            args, "tau", "faster_rcnn_r50", base_ckpt, ["--tau", str(args.tau)]
+            args, "tau", "faster_rcnn_r50", base_ckpt,
+            ["--tau", str(args.tau)], tag=f"tau{args.tau}",
         )
 
     # 3. BAGS: GS head fine-tune from the baseline (phase 2)
@@ -138,13 +144,26 @@ def main():
             ft_epochs,
         )
         rows["gs (BAGS)"] = evaluate(
-            args, "gs", "gs_faster_rcnn_r50", gs_ckpt, ["--partition", part]
+            args, "gs", "gs_faster_rcnn_r50", gs_ckpt, ["--partition", part],
+            tag="gs",
         )
 
-    # 4. repeat-factor sampling baseline (LVIS paper resampling)
+    # 4. repeat-factor sampling baseline (LVIS paper resampling).
+    #    t must be scaled to the fixture: with t below every class's image
+    #    frequency, max(1, sqrt(t/f_c)) = 1 for all images and the sampler
+    #    reproduces the baseline permutation exactly (tools/train.py now
+    #    refuses to run in that regime).
     if "rfs" not in args.skip:
-        rfs_ckpt = train(args, "rfs", "faster_rcnn_r50",
-                         ["--selectp", "0", "--use-rfs"], args.epochs)
+        if args.rfs_t is None:
+            with open(os.path.join(args.data, "train.json")) as f:
+                n_train = len(json.load(f)["images"])
+            args.rfs_t = 8.0 / n_train
+            print(f"[rfs] auto-scaled t = 8/{n_train} = {args.rfs_t:.5f}")
+        rfs_ckpt = train(
+            args, "rfs", "faster_rcnn_r50",
+            ["--selectp", "0", "--use-rfs", "--rfs-t", str(args.rfs_t)],
+            args.epochs,
+        )
         rows["rfs"] = evaluate(args, "rfs", "faster_rcnn_r50", rfs_ckpt, [])
 
     with open(os.path.join(args.work_dir, "ablation.json"), "w") as f:

@@ -62,6 +62,12 @@ def parse_args():
     p.add_argument("--autoscale-lr", action="store_true",
                    help="linear scaling rule lr *= batch/16 (train.py:107)")
     p.add_argument("--use-rfs", action="store_true", help="repeat factor sampling")
+    p.add_argument("--rfs-t", type=float, default=0.001,
+                   help="RFS frequency threshold t in max(1, sqrt(t/f_c)) "
+                        "(loader/sampler.py:104-117; 0.001 is the LVIS "
+                        "default). On small fixtures t must be raised to "
+                        "~several/num_images or every factor rounds to 1 "
+                        "and RFS silently becomes a no-op")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone blocks (jax.checkpoint): "
                         "fits larger per-chip batches at ~15-20%% extra "
@@ -285,7 +291,21 @@ def main():
     repeat = None
     if args.use_rfs:
         labels_per_img = [ds.get_ann_info(i)["labels"] for i in range(len(ds))]
-        repeat = repeat_factors(labels_per_img, len(ds.cat_ids))
+        repeat = repeat_factors(labels_per_img, len(ds.cat_ids), t=args.rfs_t)
+        n_up = int((repeat > 1.0).sum())
+        print(
+            f"RFS t={args.rfs_t}: {n_up}/{len(repeat)} images upsampled, "
+            f"max factor {repeat.max():.3f}, "
+            f"expected epoch length {repeat.sum():.1f} vs {len(repeat)}"
+        )
+        if n_up == 0:
+            raise SystemExit(
+                "--use-rfs is a no-op: every repeat factor is 1 because "
+                f"t={args.rfs_t} is below the rarest class frequency "
+                "(f_c = images-with-class / num_images). Raise --rfs-t "
+                "(rule of thumb: ~8/num_images on small fixtures) or drop "
+                "--use-rfs; refusing to train a sampler that cannot sample."
+            )
     import jax as _jax
 
     # each host batches its shard of the epoch permutation; the per-host
