@@ -30,5 +30,21 @@ def update_scores_with_reweight(
     scores_back: jnp.ndarray,  # (N, C) scores of the reweighted second head
     tail_mask: jnp.ndarray,  # (C,) bool — classes taken from the second head
 ) -> jnp.ndarray:
-    """Per-class score override (test_mixins.py update_scores_with_reweight)."""
-    return jnp.where(tail_mask[None, :], scores_back, scores_main)
+    """Per-RoI score-row override (test_mixins.py:70-92).
+
+    The reference replaces a RoI's ENTIRE score row with the reweighted
+    head's row iff (a) the main head's argmax is not background and (b) the
+    reweighted head's argmax for that RoI is a tail class:
+
+        cls_ori = scores.argmax(1)
+        cls_ori[cls_ori != 0] = scores_reweight.argmax(1)[cls_ori != 0]
+        scores[mask4newhead[cls_ori]] = scores_reweight[...]
+
+    (RoIs whose main argmax IS background keep class 0, and mask[0] = 0,
+    so they are never replaced.)
+    """
+    cls_ori = jnp.argmax(scores_main, axis=1)
+    cls_back = jnp.argmax(scores_back, axis=1)
+    cls_sel = jnp.where(cls_ori == 0, cls_ori, cls_back)
+    replace = tail_mask.astype(bool)[cls_sel]
+    return jnp.where(replace[:, None], scores_back, scores_main)

@@ -30,14 +30,42 @@ def test_deform_roi_pool_offsets_shift_sampling():
     np.testing.assert_allclose(np.asarray(out).mean(), 1.0, atol=1e-5)
 
 
+def _torch_semantics_reference(main, back, mask):
+    """Numpy emulation of test_mixins.py:70-92 (per-RoI row replacement)."""
+    out = main.copy()
+    cls_ori = main.argmax(1)
+    cls_back = back.argmax(1)
+    cls_ori = np.where(cls_ori == 0, cls_ori, cls_back)
+    replace = mask[cls_ori]
+    out[replace] = back[replace]
+    return out
+
+
 def test_dual_head_override():
     counts = np.array([0, 5, 500, 50])
     mask = tail_class_mask_from_counts(counts, threshold=100)
     np.testing.assert_array_equal(mask, [False, True, False, True])
-    main = jnp.asarray([[0.9, 0.1, 0.2, 0.3]])
-    back = jnp.asarray([[0.0, 0.8, 0.0, 0.6]])
-    out = np.asarray(update_scores_with_reweight(main, back, jnp.asarray(mask)))
-    np.testing.assert_allclose(out[0], [0.9, 0.8, 0.2, 0.6])
+    rng = np.random.RandomState(3)
+    main = rng.rand(64, 4).astype(np.float32)
+    back = rng.rand(64, 4).astype(np.float32)
+    got = np.asarray(
+        update_scores_with_reweight(
+            jnp.asarray(main), jnp.asarray(back), jnp.asarray(mask)
+        )
+    )
+    want = _torch_semantics_reference(main, back, mask)
+    np.testing.assert_allclose(got, want)
+    # rows whose main argmax is background are never replaced
+    bg_row = np.zeros((1, 4), np.float32)
+    bg_row[0, 0] = 1.0
+    tail_back = np.zeros((1, 4), np.float32)
+    tail_back[0, 1] = 1.0  # back head says tail class
+    out = np.asarray(
+        update_scores_with_reweight(
+            jnp.asarray(bg_row), jnp.asarray(tail_back), jnp.asarray(mask)
+        )
+    )
+    np.testing.assert_allclose(out, bg_row)
 
 
 def test_sample_out_head_images():

@@ -44,7 +44,13 @@ def parse_args():
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--scale", type=int, nargs=2, default=(320, 320))
     p.add_argument("--warmup-iters", type=int, default=100)
-    p.add_argument("--tau", type=float, default=1.0)
+    p.add_argument("--taus", type=float, nargs="+", default=[0.5, 0.7, 1.0],
+                   help="tau-norm sweep values (reference README.md:236 "
+                        "reports a single transferred tau-norm row; the "
+                        "sweep brackets it)")
+    p.add_argument("--tau-select", type=float, default=1.0,
+                   help="tau for the tnorm-select row (reference "
+                        "README.md:237 / test_lvis_tnorm.py dual-head path)")
     p.add_argument("--rfs-t", type=float, default=None,
                    help="RFS threshold t; default auto-scales to the fixture "
                         "as 8/num_train_images (the LVIS default 0.001 "
@@ -129,11 +135,20 @@ def main():
                                     base_ckpt, [])
 
     # 2. tau-normalized baseline classifier (test-time calibration,
-    #    tools/test_lvis.py:135 upstream)
+    #    tools/test_lvis.py:135 upstream) — swept, plus the dual-head
+    #    tau-norm-SELECT variant (tail rows rescored by the normalized
+    #    copy, test_mixins.py:70-136)
     if "tau" not in args.skip:
-        rows[f"tau={args.tau}"] = evaluate(
-            args, "tau", "faster_rcnn_r50", base_ckpt,
-            ["--tau", str(args.tau)], tag=f"tau{args.tau}",
+        for tau in args.taus:
+            rows[f"tau={tau}"] = evaluate(
+                args, "tau", "faster_rcnn_r50", base_ckpt,
+                ["--tau", str(tau)], tag=f"tau{tau}",
+            )
+    if "tnorm-select" not in args.skip:
+        rows[f"tnorm-select={args.tau_select}"] = evaluate(
+            args, "tnorm-select", "faster_rcnn_r50", base_ckpt,
+            ["--tau-select", str(args.tau_select)],
+            tag=f"tselect{args.tau_select}",
         )
 
     # 3. BAGS: GS head fine-tune from the baseline (phase 2)

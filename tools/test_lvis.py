@@ -45,6 +45,18 @@ def parse_args():
     p.add_argument("--out", default=None, help="write result records json")
     p.add_argument("--tau", type=float, default=None,
                    help="tau-normalize fc_cls rows by 1/||w||^tau (test_lvis.py:135)")
+    p.add_argument("--tau-select", type=float, default=None,
+                   help="tau-norm-SELECT (the reference's dual-head test "
+                        "path, test_lvis_tnorm.py reweight_cls_newhead + "
+                        "test_mixins.py:70-136): score proposals with both "
+                        "the original classifier and a tau-normalized copy "
+                        "(bg row untouched), and replace a RoI's score row "
+                        "with the normalized head's iff its predicted class "
+                        "is a tail class (mask.pt rule: instance_count < "
+                        "--tail-threshold)")
+    p.add_argument("--tail-threshold", type=int, default=100,
+                   help="instance-count threshold for the tau-select tail "
+                        "mask (lvis_analyse.py get_mask:270-285)")
     p.add_argument("--scale", type=int, nargs=2, default=None,
                    metavar=("LONG", "SHORT"),
                    help="keep-ratio resize target (default 1333 800); must "
@@ -82,14 +94,19 @@ def parse_args():
     return p.parse_args()
 
 
-def tau_norm(params, tau: float):
+def tau_norm(params, tau: float, skip_bg: bool = False):
     """Scale fc_cls weight rows by 1/||w||^tau (reweight_cls parity).
 
     The reference normalizes per-class rows of the classifier weight at
-    test time; bias left untouched."""
+    test time; bias left untouched. skip_bg=True leaves class 0's row
+    unchanged — the tnorm-select variant (test_lvis_tnorm.py
+    reweight_cls_newhead pnorm iterates from row 1)."""
     w = np.asarray(params["bbox_head"]["fc_cls"]["kernel"])  # (in, out)
     norms = np.linalg.norm(w, axis=0, keepdims=True)  # (1, out)
-    w = w / np.maximum(norms, 1e-12) ** tau
+    scale = 1.0 / np.maximum(norms, 1e-12) ** tau
+    if skip_bg:
+        scale[:, 0] = 1.0
+    w = w * scale
     params = dict(params)
     params["bbox_head"] = dict(params["bbox_head"])
     params["bbox_head"]["fc_cls"] = dict(params["bbox_head"]["fc_cls"], kernel=w)
@@ -163,6 +180,34 @@ def main():
     if args.tau is not None:
         params = tau_norm(params, args.tau)
 
+    variables_back = None
+    tail_mask_j = None
+    if args.tau_select is not None:
+        assert not (args.aug_rescore or args.flip_aug or args.aug_scales), (
+            "--tau-select is a single-view path (the reference's dual-head "
+            "test mode has no aug-test variant)"
+        )
+        import json as _json
+
+        from balancedgroupsoftmax_tpu.models.dual_head import (
+            tail_class_mask_from_counts,
+        )
+
+        params_back = tau_norm(params, args.tau_select, skip_bg=True)
+        variables_back = {"params": params_back,
+                          "batch_stats": loaded.get("batch_stats", {})}
+        with open(args.ann) as f:
+            cats = {c["id"]: c for c in _json.load(f)["categories"]}
+        counts = np.zeros(num_classes, np.int64)
+        for lbl, cid in enumerate(ds.cat_ids, start=1):
+            counts[lbl] = int(cats[cid].get("instance_count", 0))
+        tail_mask = tail_class_mask_from_counts(counts, args.tail_threshold)
+        print(
+            f"tau-select tau={args.tau_select}: {int(tail_mask.sum())}/"
+            f"{num_classes - 1} tail classes (< {args.tail_threshold} instances)"
+        )
+        tail_mask_j = jnp.asarray(tail_mask)
+
     records = []
     import cv2
 
@@ -175,9 +220,41 @@ def main():
 
         cfg_b = dataclasses.replace(det_cfg, image_size=bucket)
         model = build_detector(cfg_b, partition=partition)
-        fn = jax.jit(
-            lambda v, im, sh, sf, m=model: m.apply(v, im, sh, sf, method="predict")
-        )
+        if args.tau_select is not None:
+            # dual-head scoring (simple_test_bboxes_reweight parity): one
+            # shared proposal set, scores from both classifiers, per-RoI
+            # tail-row override, single multiclass NMS
+            from balancedgroupsoftmax_tpu.kernels import batched_multiclass_nms
+            from balancedgroupsoftmax_tpu.models.detector import Detections
+            from balancedgroupsoftmax_tpu.models.dual_head import (
+                update_scores_with_reweight,
+            )
+
+            @jax.jit
+            def _dual(v, vb, im, sh, sf, m=model, c=cfg_b, tail=tail_mask_j):
+                pr = m.apply(v, im, sh, method="propose")
+                bx, sc_main = m.apply(v, im, pr.boxes, sh, method="rescore")
+                _, sc_back = m.apply(vb, im, pr.boxes, sh, method="rescore")
+                sc = jax.vmap(
+                    lambda a, b: update_scores_with_reweight(a, b, tail)
+                )(sc_main, sc_back)
+                bx = bx / sf[:, None, None]
+                db, dsc, dl, dv = batched_multiclass_nms(
+                    bx, sc, pr.valid,
+                    c.rcnn_test.score_thr, c.rcnn_test.nms_iou_thr,
+                    c.rcnn_test.max_per_img,
+                    candidates_per_class=c.rcnn_test.nms_candidates_per_class,
+                    nms_type=c.rcnn_test.nms_type,
+                )
+                return Detections(boxes=db, scores=dsc, labels=dl, valid=dv)
+
+            fn = lambda v, im, sh, sf, _d=_dual: _d(
+                v, variables_back, im, sh, sf
+            )
+        else:
+            fn = jax.jit(
+                lambda v, im, sh, sf, m=model: m.apply(v, im, sh, sf, method="predict")
+            )
         mask_fn = None
         if det_cfg.mask_head is not None:
             mask_fn = jax.jit(
