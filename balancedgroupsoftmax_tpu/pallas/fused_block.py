@@ -1,0 +1,336 @@
+"""Pallas TPU kernel: fused ResNet bottleneck block (inference).
+
+Replaces the XLA conv-by-conv execution of a stride-1 bottleneck
+(conv1x1 -> BN -> relu -> conv3x3 -> BN -> relu -> conv1x1 -> BN ->
++identity -> relu; reference: mmdet/models/backbones/resnet.py Bottleneck,
+style='pytorch') with ONE kernel that keeps every intermediate in VMEM.
+
+Why: the backbone is HBM-bound, not MXU-bound. At 800x1344/batch 16 the
+1x1 convs run at ~50 FLOP/byte against a v5e balance point of ~240, and
+XLA cannot fuse conv->conv chains: each block round-trips ~2.2 GB of
+activations through HBM (measured: layer1's three blocks cost 16.3 ms
+against a ~6 ms roofline). Fused, a block's HBM traffic is one read of
+the input strip plus one write of the output.
+
+Design:
+- Frozen-BN (norm_eval, every reference config) folds into the conv
+  weights/biases ahead of time (`fold_bn`): W' = W * s/sqrt(v+eps),
+  b' = beta - mu * s/sqrt(v+eps). Inference only - training keeps the
+  flax/XLA path (autodiff through the kernel is not needed).
+- Row-padded tensor convention: block inputs/outputs are (B, H+2, W, C)
+  with one top/bottom halo row whose CONTENT IS IRRELEVANT - the kernel
+  zeroes the conv2 halo in VMEM (conv zero-padding semantics), it only
+  exists so the strip DMA offsets stay in bounds. Chained blocks
+  therefore need no re-padding between them.
+- Grid is (B * H/TH) row-tiles. Each program:
+    1. DMAs its (TH+2, W, Cin) input strip HBM->VMEM (double-buffered
+       across programs: program p starts p+1's copy before computing);
+    2. conv1 as one ((TH+2)W, Cin) @ (Cin, Cm) MXU matmul + bias + relu,
+       written into a (TH+2, W+2, Cm) scratch whose side columns are
+       zero (conv2's W-dim zero padding);
+    3. conv2 as nine shifted (TH*W, Cm) @ (Cm, Cm) matmuls accumulated
+       in f32 (the 3x3 sliding window over a VMEM-resident operand);
+    4. conv3 as (TH*W, Cm) @ (Cm, Cout), plus the identity (optionally
+       through a folded 1x1 downsample matmul), relu;
+    5. DMAs the (TH, W, Cout) output strip to the row-padded output
+       (also double-buffered).
+All matmuls run in the input dtype (bf16 on the serving path) with f32
+accumulation - the same numerics XLA's conv emitter uses.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class FusedBlockParams(NamedTuple):
+    """BN-folded weights of one bottleneck block (see fold_bn)."""
+
+    w1: jnp.ndarray  # (Cin, Cm)
+    b1: jnp.ndarray  # (1, Cm)
+    w2: jnp.ndarray  # (9, Cm, Cm)  [dy*3+dx]
+    b2: jnp.ndarray  # (1, Cm)
+    w3: jnp.ndarray  # (Cm, Cout)
+    b3: jnp.ndarray  # (1, Cout)
+    wd: Optional[jnp.ndarray]  # (Cin, Cout) folded downsample, or None
+    bd: Optional[jnp.ndarray]  # (1, Cout)
+
+
+def fold_bn(kernel, bn, eps=1e-5):
+    """Fold a FrozenBatchNorm (affine + frozen stats) into conv weights.
+
+    kernel: (kh, kw, ci, co) or (ci, co); bn: dict with scale/bias params
+    and mean/var stats (the resnet.FrozenBatchNorm layout).
+    Returns (kernel', bias') with bias shaped (1, co).
+    """
+    scale, bias = bn["scale"], bn["bias"]
+    mean, var = bn["mean"], bn["var"]
+    inv = scale * jax.lax.rsqrt(var + eps)
+    return kernel * inv, (bias - mean * inv)[None, :]
+
+
+def _kernel(
+    x_hbm,  # (B, H+2, W, Cin) row-padded input
+    w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,  # VMEM weights
+    *rest,
+    th: int, tiles: int, nprog: int, has_ds: bool,
+):
+    if has_ds:
+        (wd_ref, bd_ref, out_hbm, strip, outbuf, y1pad, y1dx, sem_in,
+         sem_out) = rest
+    else:
+        out_hbm, strip, outbuf, y1pad, y1dx, sem_in, sem_out = rest
+        wd_ref = bd_ref = None
+    pid = pl.program_id(0)
+    w = out_hbm.shape[2]
+    cin = x_hbm.shape[3]
+    cm = w1_ref.shape[1]
+    cout = out_hbm.shape[3]
+
+    def in_dma(p, slot):
+        b = p // tiles
+        r0 = (p % tiles) * th
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(r0, th + 2)], strip.at[slot], sem_in.at[slot]
+        )
+
+    def out_dma(p, slot):
+        b = p // tiles
+        r0 = (p % tiles) * th
+        return pltpu.make_async_copy(
+            outbuf.at[slot], out_hbm.at[b, pl.ds(r0 + 1, th)], sem_out.at[slot]
+        )
+
+    @pl.when(pid == 0)
+    def _():
+        # conv2's W-dim zero padding lives in y1pad's side columns; the
+        # scratch persists across grid steps so zero them once
+        y1pad[:, 0:1, :] = jnp.zeros_like(y1pad[:, 0:1, :])
+        y1pad[:, w + 1 : w + 2, :] = jnp.zeros_like(y1pad[:, 0:1, :])
+        in_dma(0, 0).start()
+
+    @pl.when(pid + 1 < nprog)
+    def _():
+        in_dma(pid + 1, (pid + 1) % 2).start()
+
+    in_dma(pid, pid % 2).wait()
+    xs = strip[pid % 2]  # (TH+2, W, Cin)
+    dt = xs.dtype
+
+    # conv1 (+BN fold, relu) over all TH+2 strip rows
+    y1 = jax.lax.dot_general(
+        xs.reshape((th + 2) * w, cin),
+        w1_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y1 = jnp.maximum(y1 + b1_ref[...], 0.0).astype(dt)
+    y1pad[:, 1 : w + 1, :] = y1.reshape(th + 2, w, cm)
+
+    # conv2 halo rows are zero-padding, not computed values
+    t = pid % tiles
+
+    @pl.when(t == 0)
+    def _():
+        y1pad[0:1, :, :] = jnp.zeros_like(y1pad[0:1, :, :])
+
+    @pl.when(t == tiles - 1)
+    def _():
+        y1pad[th + 1 : th + 2, :, :] = jnp.zeros_like(y1pad[0:1, :, :])
+
+    # Materialize the three dx-shifted copies ONCE as flat
+    # ((TH+2)*W, Cm) buffers: the dx sublane slice + (TH, W)->TH*W
+    # collapse of a (W+2)-strided row is a relayout Mosaic copies per
+    # operand; nine of those dominated the kernel (measured ~parity with
+    # XLA). From a flat contiguous buffer, the per-dy operand is a
+    # TILE-ALIGNED sublane slice (offset dy*W, W = 42 sublane tiles) —
+    # free. 3 copies instead of 9 relayouts.
+    y1v = y1pad[...]
+    for dx in range(3):
+        y1dx[dx] = y1v[:, dx : dx + w, :].reshape((th + 2) * w, cm)
+    acc = jnp.zeros((th * w, cm), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            operand = y1dx[dx, dy * w : (dy + th) * w, :]
+            acc += jax.lax.dot_general(
+                operand,
+                w2_ref[dy * 3 + dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    y2 = jnp.maximum(acc + b2_ref[...], 0.0).astype(dt)
+
+    # bf16 residual add, matching XLA's numerics (bf16 activations) and
+    # halving the transient VMEM footprint
+    y3 = (
+        jax.lax.dot_general(
+            y2, w3_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b3_ref[...]
+    ).astype(dt)
+
+    xc = xs[1 : th + 1].reshape(th * w, cin)
+    if has_ds:
+        ident = (
+            jax.lax.dot_general(
+                xc, wd_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bd_ref[...]
+        ).astype(dt)
+    else:
+        ident = xc
+
+    @pl.when(pid >= 2)
+    def _():
+        out_dma(pid - 2, pid % 2).wait()
+
+    outbuf[pid % 2] = jnp.maximum(y3 + ident, 0.0).reshape(th, w, cout)
+    out_dma(pid, pid % 2).start()
+
+    @pl.when(pid == nprog - 1)
+    def _():
+        @pl.when(jnp.asarray(nprog >= 2))
+        def _():
+            out_dma(pid - 1, (pid - 1) % 2).wait()
+
+        out_dma(pid, pid % 2).wait()
+
+
+def _vmem_est(th, w, cin, cm, cout, itemsize=2):
+    """Rough scoped-VMEM bytes for a tile choice (scratch + transients)."""
+    strip = 2 * (th + 2) * w * cin * itemsize
+    outb = 2 * th * w * cout * itemsize
+    y1pad = (th + 2) * (w + 2) * cm * itemsize
+    y1dx = 3 * (th + 2) * w * cm * itemsize
+    acc = 2 * th * w * cm * 4  # f32 accumulator + a compiler temp
+    y3id = 2 * th * w * cout * itemsize
+    return strip + outb + y1pad + y1dx + acc + y3id
+
+
+def _pick_th(h: int, w: int, cin: int, cm: int, cout: int) -> int:
+    """Largest row-tile dividing H that fits the ~16MB scoped VMEM budget
+    (with headroom for compiler temporaries)."""
+    budget = 12_500_000
+    for th in (12, 10, 8, 5, 4, 2, 1):
+        if h % th == 0 and _vmem_est(th, w, cin, cm, cout) <= budget:
+            return th
+    return 1
+
+
+def fused_bottleneck(
+    x: jnp.ndarray,  # (B, H+2, W, Cin) row-padded
+    p: FusedBlockParams,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One stride-1 bottleneck block on a row-padded tensor.
+
+    Returns (B, H+2, W, Cout) row-padded output; the halo rows of the
+    output are uninitialized (their content is never read by a chained
+    block or by `unpad_rows`).
+    """
+    b, hp, w, cin = x.shape
+    h = hp - 2
+    cm = p.w1.shape[1]
+    cout = p.w3.shape[1]
+    has_ds = p.wd is not None
+    if cin % 128:
+        # Mosaic HBM slices must be lane-aligned: pad the channel dim to
+        # 128 and extend the 1x1 weight rows with zeros (exact). A no-ds
+        # block (cin == cout) can no longer use the raw identity once
+        # padded — route it through an exact identity matmul instead
+        # (only reachable at test shapes; real no-ds blocks are >= 256ch).
+        cpad = -cin % 128
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cpad)))
+        if not has_ds:
+            p = p._replace(
+                wd=jnp.eye(cin, cout, dtype=p.w1.dtype),
+                bd=jnp.zeros((1, cout), p.w1.dtype),
+            )
+            has_ds = True
+        p = p._replace(
+            w1=jnp.pad(p.w1, ((0, cpad), (0, 0))),
+            wd=jnp.pad(p.wd, ((0, cpad), (0, 0))),
+        )
+        cin += cpad
+    th = _pick_th(h, w, cin, cm, cout)
+    tiles = h // th
+    nprog = b * tiles
+    dt = x.dtype
+
+    weights = [
+        p.w1.astype(dt), p.b1.astype(jnp.float32),
+        p.w2.astype(dt), p.b2.astype(jnp.float32),
+        p.w3.astype(dt), p.b3.astype(jnp.float32),
+    ]
+    if has_ds:
+        weights += [p.wd.astype(dt), p.bd.astype(jnp.float32)]
+
+    wspecs = [
+        pl.BlockSpec(ww.shape, lambda *_, n=ww.ndim: (0,) * n)
+        for ww in weights
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nprog,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + wspecs,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, w, cin), dt),
+            pltpu.VMEM((2, th, w, cout), dt),
+            pltpu.VMEM((th + 2, w + 2, cm), dt),
+            pltpu.VMEM((3, (th + 2) * w, cm), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, th=th, tiles=tiles, nprog=nprog, has_ds=has_ds
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hp, w, cout), dt),
+        interpret=interpret,
+    )(x, *weights)
+
+
+def pad_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> row-padded (B, H+2, W, C)."""
+    return jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+
+def unpad_rows(x: jnp.ndarray) -> jnp.ndarray:
+    return x[:, 1:-1]
+
+
+def fold_bottleneck(params: dict, stats: dict) -> FusedBlockParams:
+    """Fold one flax Bottleneck's conv+FrozenBN params (resnet.py naming:
+    conv1/bn1/conv2/bn2/conv3/bn3[/downsample_conv/downsample_bn])."""
+
+    def bn(name):
+        return {
+            "scale": params[name]["scale"],
+            "bias": params[name]["bias"],
+            "mean": stats[name]["mean"],
+            "var": stats[name]["var"],
+        }
+
+    w1, b1 = fold_bn(params["conv1"]["kernel"][0, 0], bn("bn1"))
+    w2k, b2 = fold_bn(params["conv2"]["kernel"], bn("bn2"))  # (3,3,Cm,Cm)
+    cm = w2k.shape[2]
+    w2 = w2k.reshape(9, cm, w2k.shape[3])
+    w3, b3 = fold_bn(params["conv3"]["kernel"][0, 0], bn("bn3"))
+    wd = bd = None
+    if "downsample_conv" in params:
+        wd, bd = fold_bn(
+            params["downsample_conv"]["kernel"][0, 0], bn("downsample_bn")
+        )
+    return FusedBlockParams(w1, b1, w2, b2, w3, b3, wd, bd)
