@@ -1,16 +1,21 @@
 """Pallas TPU kernel: fused ResNet bottleneck block (inference).
 
+STATUS: documented negative result — measured at XLA parity, NOT wired
+into the model. See BENCHMARKS.md "Round 3: the backbone+FPN MXU story".
+The kernel eliminates the ~2.2 GB/block HBM round-trips of the XLA
+conv-by-conv execution (1x1 convs run at ~50 FLOP/byte vs the v5e
+balance point of ~240), but Mosaic's dot_general sustains only 10-22
+TFLOP/s at these shapes vs ~157 for XLA's conv emitter on the same
+chip, which exactly cancels the traffic savings (single block 5.40 vs
+XLA 5.45 ms; 3-block chain 16.0 vs 16.3 ms @ batch 16, 200x336). Kept
+in-tree with its parity tests as the experiment record.
+
 Replaces the XLA conv-by-conv execution of a stride-1 bottleneck
 (conv1x1 -> BN -> relu -> conv3x3 -> BN -> relu -> conv1x1 -> BN ->
 +identity -> relu; reference: mmdet/models/backbones/resnet.py Bottleneck,
-style='pytorch') with ONE kernel that keeps every intermediate in VMEM.
-
-Why: the backbone is HBM-bound, not MXU-bound. At 800x1344/batch 16 the
-1x1 convs run at ~50 FLOP/byte against a v5e balance point of ~240, and
-XLA cannot fuse conv->conv chains: each block round-trips ~2.2 GB of
-activations through HBM (measured: layer1's three blocks cost 16.3 ms
-against a ~6 ms roofline). Fused, a block's HBM traffic is one read of
-the input strip plus one write of the output.
+style='pytorch') with ONE kernel that keeps every intermediate in VMEM
+(fused_bottleneck), or a whole run of stride-1 blocks per kernel
+(fused_layer) so inter-block activations never touch HBM.
 
 Design:
 - Frozen-BN (norm_eval, every reference config) folds into the conv
@@ -300,6 +305,258 @@ def fused_bottleneck(
         out_shape=jax.ShapeDtypeStruct((b, hp, w, cout), dt),
         interpret=interpret,
     )(x, *weights)
+
+
+def _layer_kernel(
+    x_hbm,  # (B, H+2N, W, Cin0) row-padded by N
+    *rest,
+    th: int, tiles: int, nprog: int, n: int,
+    dims: tuple,  # per-stage (cin, cm, cout, has_ds)
+):
+    nw = sum(6 + (2 if ds else 0) for _, _, _, ds in dims)
+    wrefs = rest[:nw]
+    (out_hbm, strip, act_a, act_b, outbuf, y1pad, zbuf, sem_in,
+     sem_out) = rest[nw:]
+    pid = pl.program_id(0)
+    w = out_hbm.shape[2]
+    t = pid % tiles
+
+    def in_dma(p, slot):
+        b = p // tiles
+        r0 = (p % tiles) * th
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(r0, th + 2 * n)], strip.at[slot],
+            sem_in.at[slot],
+        )
+
+    def out_dma(p, slot):
+        b = p // tiles
+        r0 = (p % tiles) * th
+        return pltpu.make_async_copy(
+            outbuf.at[slot], out_hbm.at[b, pl.ds(r0, th)], sem_out.at[slot]
+        )
+
+    @pl.when(pid == 0)
+    def _():
+        y1pad[:, 0:1, :] = jnp.zeros_like(y1pad[:, 0:1, :])
+        y1pad[:, w + 1 : w + 2, :] = jnp.zeros_like(y1pad[:, 0:1, :])
+        in_dma(0, 0).start()
+
+    @pl.when(pid + 1 < nprog)
+    def _():
+        in_dma(pid + 1, (pid + 1) % 2).start()
+
+    in_dma(pid, pid % 2).wait()
+
+    @pl.when(pid >= 2)
+    def _():
+        out_dma(pid - 2, pid % 2).wait()
+
+    wi = 0
+    acts = [act_a, act_b]
+    for s, (cin, cm, cout, has_ds) in enumerate(dims):
+        w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref = wrefs[wi : wi + 6]
+        wi += 6
+        if has_ds:
+            wd_ref, bd_ref = wrefs[wi : wi + 2]
+            wi += 2
+        n_s = th + 2 * (n - s)  # stage input rows
+        n_o = n_s - 2  # stage output rows
+        if s == 0:
+            xs = strip[pid % 2]
+        else:
+            xs = acts[(s - 1) % 2][0:n_s, :, 0:cin]
+        dt = xs.dtype
+
+        y1 = jax.lax.dot_general(
+            xs.reshape(n_s * w, cin), w1_ref[...],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        y1 = jnp.maximum(y1 + b1_ref[...], 0.0).astype(dt)
+        y1pad[0:n_s, 1 : w + 1, 0:cm] = y1.reshape(n_s, w, cm)
+
+        # conv2 halo rows at the image boundary are zero padding. For
+        # stage s of tile 0, local rows [0, n-s) are below global row 0;
+        # symmetrically at the last tile.
+        edge = n - s
+
+        @pl.when(t == 0)
+        def _(edge=edge, n_s=n_s, cm=cm):
+            y1pad[0:edge, :, 0:cm] = jnp.zeros_like(y1pad[0:edge, :, 0:cm])
+
+        @pl.when(t == tiles - 1)
+        def _(edge=edge, n_s=n_s, cm=cm):
+            y1pad[n_s - edge : n_s, :, 0:cm] = jnp.zeros_like(
+                y1pad[n_s - edge : n_s, :, 0:cm]
+            )
+
+        # conv2: contract K=3*Cm per dx (three matmuls instead of nine
+        # K=Cm ones — the K=64 taps ran the MXU at ~25%)
+        y1v = y1pad[0:n_s, :, 0:cm]
+        acc = jnp.zeros((n_o * w, cm), jnp.float32)
+        for dx in range(3):
+            flat = y1v[:, dx : dx + w, :].reshape(n_s * w, cm)
+            for dy in range(3):
+                zbuf[0 : n_o * w, dy * cm : (dy + 1) * cm] = flat[
+                    dy * w : dy * w + n_o * w, :
+                ]
+            acc += jax.lax.dot_general(
+                zbuf[0 : n_o * w, 0 : 3 * cm], w2_ref[dx],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+        y2 = jnp.maximum(acc + b2_ref[...], 0.0).astype(dt)
+
+        # Stage-final dots in ROW CHUNKS: Mosaic requires f32 matmul
+        # accumulators, and a full (n_o*W, Cout) f32 temporary broke the
+        # VMEM budget at useful tile sizes — chunking caps the f32
+        # footprint at ~2*ch*W*Cout*4 bytes while M stays MXU-sized.
+        xc = xs[1 : n_s - 1].reshape(n_o * w, cin)
+        ch = max(2, th // 2)
+        for c0 in range(0, n_o, ch):
+            rc = min(ch, n_o - c0)
+            rows = slice(c0 * w, (c0 + rc) * w)
+            y3c = jax.lax.dot_general(
+                y2[rows], w3_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b3_ref[...]
+            if has_ds:
+                identc = jax.lax.dot_general(
+                    xc[rows], wd_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bd_ref[...]
+            else:
+                identc = xc[rows]
+            outc = jnp.maximum(y3c + identc, 0.0).astype(dt).reshape(
+                rc, w, cout
+            )
+            if s == n - 1:
+                outbuf[pid % 2, c0 : c0 + rc] = outc
+            else:
+                acts[s % 2][c0 : c0 + rc, :, 0:cout] = outc
+
+    out_dma(pid, pid % 2).start()
+
+    @pl.when(pid == nprog - 1)
+    def _():
+        @pl.when(jnp.asarray(nprog >= 2))
+        def _():
+            out_dma(pid - 1, (pid - 1) % 2).wait()
+
+        out_dma(pid, pid % 2).wait()
+
+
+def fused_layer(
+    x: jnp.ndarray,  # (B, H, W, Cin0) UNPADDED
+    blocks,  # sequence of FusedBlockParams (stride-1 bottlenecks)
+    th: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Chain N stride-1 bottleneck blocks in ONE kernel launch.
+
+    The single-block kernel is DMA-bound: each block moves its full
+    input + output through HBM (~1.24 GB per layer1 block at batch 16).
+    Chaining keeps inter-block activations in VMEM, so a whole layer
+    costs one input read + one output write. Input halo grows by one row
+    per chained block (row-pad by N); the per-stage conv2 edge zeroing
+    reproduces exact zero-padding semantics at both image borders.
+
+    Returns (B, H, W, Cout) — unpadded, ready for XLA consumers.
+    """
+    blocks = list(blocks)
+    n = len(blocks)
+    b, h, w, cin0 = x.shape
+    assert h % th == 0, (h, th)
+
+    dims = []
+    weights = []
+    cin = cin0
+    for s, p in enumerate(blocks):
+        cm = p.w1.shape[1]
+        cout = p.w3.shape[1]
+        has_ds = p.wd is not None
+        if cin != cout and not has_ds:
+            raise ValueError("stride-1 block without downsample must keep C")
+        if s == 0 and cin % 128:
+            # only the stage-0 strip lives in HBM (lane-aligned DMA);
+            # later stages read VMEM activations at any width
+            cpad = -cin % 128
+            if not has_ds:
+                p = p._replace(
+                    wd=jnp.eye(cin, cout, dtype=p.w1.dtype),
+                    bd=jnp.zeros((1, cout), p.w1.dtype),
+                )
+                has_ds = True
+            p = p._replace(
+                w1=jnp.pad(p.w1, ((0, cpad), (0, 0))),
+                wd=jnp.pad(p.wd, ((0, cpad), (0, 0))),
+            )
+            cin += cpad
+        dims.append((cin, cm, cout, has_ds))
+        # w2 regrouped for the K=3Cm contraction: p.w2 is (9, cm, cm)
+        # indexed dy*3+dx; build (3, 3cm, cm) indexed [dx][dy*cm+c, o]
+        w2cat = jnp.stack(
+            [
+                jnp.concatenate([p.w2[dy * 3 + dx] for dy in range(3)], axis=0)
+                for dx in range(3)
+            ]
+        )
+        dtype = x.dtype
+        weights += [
+            p.w1.astype(dtype), p.b1.astype(jnp.float32),
+            w2cat.astype(dtype), p.b2.astype(jnp.float32),
+            p.w3.astype(dtype), p.b3.astype(jnp.float32),
+        ]
+        if has_ds:
+            weights += [p.wd.astype(dtype), p.bd.astype(jnp.float32)]
+        cin = cout
+
+    dtype = x.dtype
+    cin_pad0 = dims[0][0]
+    if cin_pad0 != cin0:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cin_pad0 - cin0)))
+    xp = jnp.pad(x, ((0, 0), (n, n), (0, 0), (0, 0)))
+
+    tiles = h // th
+    nprog = b * tiles
+    max_act_c = max(c for _, _, c, _ in dims[:-1]) if n > 1 else 1
+    max_act_r = th + 2 * (n - 1)
+    max_cm = max(cm for _, cm, _, _ in dims)
+    cout_last = dims[-1][2]
+
+    wspecs = [
+        pl.BlockSpec(ww.shape, lambda *_, nd=ww.ndim: (0,) * nd)
+        for ww in weights
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nprog,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + wspecs,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2 * n, w, cin_pad0), dtype),
+            pltpu.VMEM((max_act_r, w, max_act_c), dtype),
+            pltpu.VMEM((max(max_act_r - 2, 1), w, max_act_c), dtype),
+            pltpu.VMEM((2, th, w, cout_last), dtype),
+            pltpu.VMEM((th + 2 * n, w + 2, max_cm), dtype),
+            pltpu.VMEM(((th + 2 * n - 2) * w, 3 * max_cm), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _layer_kernel, th=th, tiles=tiles, nprog=nprog, n=n,
+            dims=tuple(dims),
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout_last), dtype),
+        # the 16MB default is only the scoped-vmem *limit*; raising it
+        # lets tiles grow enough to amortize per-op sequencing overhead
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(xp, *weights)
 
 
 def pad_rows(x: jnp.ndarray) -> jnp.ndarray:

@@ -78,6 +78,56 @@ def test_fused_block_edge_rows_zero_padded():
     )
 
 
+def _make_chain(cins, planes, h, w, seed0=20):
+    ms, vs, fps = [], [], []
+    from balancedgroupsoftmax_tpu.pallas.fused_block import fold_bottleneck
+
+    for i, (cin, pl_) in enumerate(zip(cins, planes)):
+        m, v, _ = make_block(cin, pl_, h, w, seed=seed0 + i)
+        ms.append(m)
+        vs.append(v)
+        fps.append(fold_bottleneck(v["params"], v["batch_stats"]))
+    return ms, vs, fps
+
+
+def test_fused_layer_matches_chained_blocks():
+    """fused_layer (N blocks, one kernel) == chained flax blocks,
+    including the growing-halo edge zeroing at both image borders."""
+    from balancedgroupsoftmax_tpu.pallas.fused_block import fused_layer
+
+    h, w = 16, 24
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, h, w, 64), jnp.float32)
+    ms, vs, fps = _make_chain([64, 64, 64], [16, 16, 16], h, w)
+    ref = x
+    for m, v in zip(ms, vs):
+        ref = m.apply(v, ref)
+    for th in (4, h):  # multi-tile (edge cases) and single-tile
+        out = fused_layer(x, fps, th=th, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3,
+            err_msg=f"th={th}",
+        )
+
+
+def test_fused_layer_with_channel_change():
+    """First chained block changes channels through its downsample (the
+    layer1 entry block: 64 -> 256 at stride 1)."""
+    from balancedgroupsoftmax_tpu.pallas.fused_block import fused_layer
+
+    h, w = 8, 16
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.randn(1, h, w, 32), jnp.float32)
+    ms, vs, fps = _make_chain([32, 64, 64], [16, 16, 16], h, w, seed0=30)
+    ref = x
+    for m, v in zip(ms, vs):
+        ref = m.apply(v, ref)
+    out = fused_layer(x, fps, th=4, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3
+    )
+
+
 def test_fused_block_chain():
     """Chained blocks reuse the row-padded output without re-padding."""
     m0, v0, x = make_block(64, 16, h=16, w=24, seed=7)
