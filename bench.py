@@ -27,7 +27,10 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_BASELINE_IMG_PER_SEC = 25.0
-BATCH = 16
+# batch 32 is the measured-best serving point (124.1 vs 118.0 img/s at
+# batch 16 — BENCHMARKS.md round 3); the SMEM-packed RoIAlign prefetch
+# (13 -> 6 vectors) is what lets 32x1000 rois fit the 1MB scalar budget
+BATCH = 32
 WARMUP = 2
 ITERS = 10
 
@@ -83,7 +86,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "images/sec/chip (BAGS Faster R-CNN R50-FPN, 1231-class GS head, 800x1344, bf16, batch 16, single-chip inference incl. detection fetch)",
+                "metric": f"images/sec/chip (BAGS Faster R-CNN R50-FPN, 1231-class GS head, 800x1344, bf16, batch {BATCH}, single-chip inference incl. detection fetch)",
                 "value": round(imgs_per_sec, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMG_PER_SEC, 3),
