@@ -262,7 +262,16 @@ class FasterRCNN(nn.Module):
                 c.roi_extractor.sample_num,
                 c.roi_extractor.finest_scale,
             )
-            mask_logits = self.mask_head(m_pooled)  # (B, cap, 2S, 2S, Cfg)
+            m_labels = targets.labels[:, :mask_cap]
+            if c.mask_head.class_agnostic:
+                mask_logits = self.mask_head(m_pooled)  # (B, cap, 2S, 2S, 1)
+            else:
+                # selected-class logits (same gradients as the dense conv:
+                # unselected channels carry zero cotangent)
+                num_fg = c.mask_head.num_classes - 1
+                mask_logits = self.mask_head(
+                    m_pooled, labels=jnp.clip(m_labels - 1, 0, num_fg - 1)
+                )  # (B, cap, 2S, 2S)
             m_pos = (targets.labels[:, :mask_cap] > 0) & targets.roi_valid[:, :mask_cap]
             m_targets = jax.vmap(
                 lambda rois, gb, gi, crops, pm: mask_target_single(
@@ -282,6 +291,7 @@ class FasterRCNN(nn.Module):
                 flat_m(targets.labels[:, :mask_cap]),
                 flat_m(m_pos),
                 class_agnostic=c.mask_head.class_agnostic,
+                preselected=not c.mask_head.class_agnostic,
             )
         return losses
 
@@ -294,8 +304,15 @@ class FasterRCNN(nn.Module):
         rescale: bool = True,
     ) -> Detections:
         """simple_test parity (two_stage.py:267-290 + test_mixins.py:39-68)."""
-        c = self.cfg
         feats = self.extract_feats(images)
+        return self._predict_feats(
+            feats, images, img_shapes, scale_factors, rescale
+        )
+
+    def _predict_feats(
+        self, feats, images, img_shapes, scale_factors, rescale=True
+    ) -> Detections:
+        c = self.cfg
         rpn_outs = self.rpn_head(feats)
         anchors = self._anchors(images)
 
@@ -419,8 +436,35 @@ class FasterRCNN(nn.Module):
         Parity: simple_test_mask (test_mixins.py:178) — detections rescaled
         back to network scale, pooled, mask head applied, per-label slice.
         """
-        c = self.cfg
         feats = self.extract_feats(images)
+        return self._masks_feats(feats, det_boxes, det_labels, scale_factors)
+
+    def predict_with_masks(
+        self,
+        images: jnp.ndarray,
+        img_shapes: jnp.ndarray,
+        scale_factors: jnp.ndarray,
+        rescale: bool = True,
+    ):
+        """Detections + masks from ONE backbone pass.
+
+        The reference's simple_test extracts features once and feeds both
+        simple_test_bboxes and simple_test_mask (two_stage.py:267-290);
+        running predict and predict_masks as separate graphs costs a
+        second backbone+FPN evaluation (~40% of the step) and doubles the
+        feats' HBM footprint.
+        """
+        feats = self.extract_feats(images)
+        dets = self._predict_feats(
+            feats, images, img_shapes, scale_factors, rescale
+        )
+        masks = self._masks_feats(
+            feats, dets.boxes, dets.labels, scale_factors
+        )
+        return dets, masks
+
+    def _masks_feats(self, feats, det_boxes, det_labels, scale_factors):
+        c = self.cfg
         rois = det_boxes * scale_factors[:, None, None]
         pooled = batched_multilevel_roi_align(
             feats[: len(c.roi_extractor.featmap_strides)],
@@ -430,14 +474,12 @@ class FasterRCNN(nn.Module):
             c.roi_extractor.sample_num,
             c.roi_extractor.finest_scale,
         )
-        logits = self.mask_head(pooled)  # (B, M, 2S, 2S, num_fg)
         if c.mask_head.class_agnostic:
-            sel = logits[..., 0]
+            sel = self.mask_head(pooled)[..., 0]
         else:
-            idx = jnp.clip(det_labels, 0, logits.shape[-1] - 1)
-            sel = jnp.take_along_axis(
-                logits, idx[:, :, None, None, None], axis=-1
-            )[..., 0]
+            # class-selected logits: never materialize the (B, M, 2S, 2S,
+            # num_fg) dense tensor (num_fg=1230 on LVIS)
+            sel = self.mask_head(pooled, labels=det_labels)
         return jax.nn.sigmoid(sel.astype(jnp.float32))
 
 

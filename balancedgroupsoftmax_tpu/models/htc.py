@@ -369,9 +369,18 @@ class HTC(nn.Module):
                         m_pooled, res_feat=last_feat if j > 0 else None,
                         return_feat=True,
                     )
-            mask_logits = self.mask_heads[i](
-                m_pooled, res_feat=last_feat, return_feat=False
-            )
+            if c.mask_head.class_agnostic:
+                mask_logits = self.mask_heads[i](
+                    m_pooled, res_feat=last_feat, return_feat=False
+                )
+                presel = False
+            else:
+                num_fg = c.mask_head.num_classes - 1
+                mask_logits = self.mask_heads[i](
+                    m_pooled, res_feat=last_feat, return_feat=False,
+                    labels=jnp.clip(m_labels - 1, 0, num_fg - 1),
+                )
+                presel = True
             m_t = jax.vmap(
                 lambda rois, gb, gi, crops, pm: mask_target_single(
                     rois, gb, gi, crops, pm, c.mask_head.mask_size
@@ -381,6 +390,7 @@ class HTC(nn.Module):
                 flat_m(mask_logits), flat_m(jax.lax.stop_gradient(m_t)),
                 flat_m(m_labels), flat_m(m_pos),
                 class_agnostic=c.mask_head.class_agnostic,
+                preselected=presel,
             )
 
             if i < c.cascade.num_stages - 1:
@@ -396,10 +406,19 @@ class HTC(nn.Module):
         scale_factors: jnp.ndarray,
         rescale: bool = True,
     ) -> Detections:
-        c = self.cfg
         feats = self.extract_feats(images)
+        return self._predict_feats(
+            feats, images, img_shapes, scale_factors, rescale
+        )
+
+    def _predict_feats(
+        self, feats, images, img_shapes, scale_factors, rescale=True,
+        sem_feat=None,
+    ) -> Detections:
+        c = self.cfg
         rpn_outs = self.rpn_head(feats)
-        _, sem_feat = self.semantic_head(feats)
+        if sem_feat is None:
+            _, sem_feat = self.semantic_head(feats)
         anchors = self._anchors(images)
         proposals = rpn_proposals_batched(
             rpn_outs, anchors, img_shapes, c.rpn_proposal_test
@@ -433,9 +452,35 @@ class HTC(nn.Module):
         scale_factors: jnp.ndarray,
     ) -> jnp.ndarray:
         """Average the per-stage mask logits with info flow (htc.py:142-155)."""
-        c = self.cfg
+        feats = self.extract_feats(images)
+        return self._masks_feats(feats, det_boxes, det_labels, scale_factors)
+
+    def predict_with_masks(
+        self,
+        images: jnp.ndarray,
+        img_shapes: jnp.ndarray,
+        scale_factors: jnp.ndarray,
+        rescale: bool = True,
+    ):
+        """Detections + masks from ONE backbone/semantic pass (the
+        reference's HybridTaskCascade.simple_test computes feats and the
+        semantic feature once for both branches, htc.py:157-199)."""
         feats = self.extract_feats(images)
         _, sem_feat = self.semantic_head(feats)
+        dets = self._predict_feats(
+            feats, images, img_shapes, scale_factors, rescale, sem_feat
+        )
+        masks = self._masks_feats(
+            feats, dets.boxes, dets.labels, scale_factors, sem_feat
+        )
+        return dets, masks
+
+    def _masks_feats(
+        self, feats, det_boxes, det_labels, scale_factors, sem_feat=None
+    ):
+        c = self.cfg
+        if sem_feat is None:
+            _, sem_feat = self.semantic_head(feats)
         rois = det_boxes * scale_factors[:, None, None]
         m_size = c.mask_head.mask_size // 2
         pooled = self._pool(feats, rois, out_size=m_size)
@@ -443,22 +488,22 @@ class HTC(nn.Module):
             pooled = pooled + self._pool_semantic(sem_feat, rois, m_size).astype(
                 pooled.dtype
             )
+        # class-selected per stage (selecting commutes with the stage
+        # average) — never materializes the (B, M, 2S, 2S, 1230) tensors
+        sel_labels = None if c.mask_head.class_agnostic else det_labels
         last_feat = None
         agg = None
         for i in range(c.cascade.num_stages):
             if c.htc.mask_info_flow:
                 logits, last_feat = self.mask_heads[i](
-                    pooled, res_feat=last_feat if i > 0 else None, return_feat=True
+                    pooled, res_feat=last_feat if i > 0 else None,
+                    return_feat=True, labels=sel_labels,
                 )
             else:
-                logits = self.mask_heads[i](pooled)
+                logits = self.mask_heads[i](pooled, labels=sel_labels)
             agg = logits if agg is None else agg + logits
         avg = agg.astype(jnp.float32) / c.cascade.num_stages
-        if c.mask_head.class_agnostic:
-            sel = avg[..., 0]
-        else:
-            idx = jnp.clip(det_labels, 0, avg.shape[-1] - 1)
-            sel = jnp.take_along_axis(avg, idx[:, :, None, None, None], axis=-1)[..., 0]
+        sel = avg[..., 0] if c.mask_head.class_agnostic else avg
         return jax.nn.sigmoid(sel)
 
 

@@ -21,8 +21,18 @@ class FCNMaskHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, res_feat=None, return_feat: bool = False):
-        """x (..., S, S, C) roi feats -> mask logits (..., 2S, 2S, num_fg)."""
+    def __call__(self, x, res_feat=None, return_feat: bool = False,
+                 labels=None):
+        """x (..., S, S, C) roi feats -> mask logits (..., 2S, 2S, num_fg).
+
+        With `labels` (int32, x's leading dims, 0-based fg class), returns
+        only the selected class's logits (..., 2S, 2S): the final 1x1 conv
+        collapses to a per-roi gathered dot. At LVIS scale this removes a
+        (B, M, 2S, 2S, 1230) tensor — ~4.6 GB and ~1.2 TFLOP per batch-8
+        step — that the dense conv materializes just to throw away all but
+        one channel per roi (gradients are identical: unselected channels
+        carry zero cotangent either way).
+        """
         c = self.cfg
         if res_feat is not None:
             # conv_res maps the previous stage's feature onto this input's
@@ -52,29 +62,50 @@ class FCNMaskHead(nn.Module):
         )(x)
         x = nn.relu(x)
         num_out = 1 if c.class_agnostic else c.num_classes - 1
-        logits = nn.Conv(
+        conv_logits = nn.Conv(
             num_out,
             (1, 1),
             dtype=self.dtype,
             kernel_init=nn.initializers.normal(0.001),
             name="conv_logits",
-        )(x)
+        )
+        if labels is None or c.class_agnostic:
+            logits = conv_logits(x)
+        else:
+            # bind/create the conv's params without the dense compute
+            # (the dummy result is unused and DCE'd; init still creates
+            # the full (1,1,C,num_out) kernel so checkpoints are
+            # identical to the dense path)
+            _ = conv_logits(x[..., :1, :1, :])
+            kernel = conv_logits.variables["params"]["kernel"][0, 0]
+            bias = conv_logits.variables["params"]["bias"]
+            idx = jnp.clip(labels, 0, num_out - 1)
+            wsel = jnp.transpose(kernel)[idx].astype(x.dtype)  # (..., C)
+            bsel = bias[idx].astype(jnp.float32)
+            logits = (
+                jnp.einsum("...hwc,...c->...hw", x, wsel).astype(jnp.float32)
+                + bsel[..., None, None]
+            ).astype(x.dtype)
         if return_feat:
             return logits, feat
         return logits
 
 
 def mask_head_loss(
-    mask_logits: jnp.ndarray,  # (N, M, M, num_fg)
+    mask_logits: jnp.ndarray,  # (N, M, M, num_fg) or (N, M, M) preselected
     mask_targets: jnp.ndarray,  # (N, M, M) binary
     labels: jnp.ndarray,  # (N,) 1-based gt class (0 = bg)
     pos_mask: jnp.ndarray,  # (N,) bool
     class_agnostic: bool = False,
+    preselected: bool = False,
 ) -> jnp.ndarray:
     """Binary CE on the target-class mask slice, averaged over positives
     (fcn_mask_head.py:109-123; avg by pos count, each mask contributing its
-    mean pixel loss)."""
-    if class_agnostic:
+    mean pixel loss). `preselected` marks logits already gathered to the
+    target class by the head's `labels` path."""
+    if preselected:
+        sel = mask_logits
+    elif class_agnostic:
         sel = mask_logits[..., 0]
     else:
         idx = jnp.clip(labels - 1, 0, mask_logits.shape[-1] - 1)

@@ -206,3 +206,40 @@ def test_anchors_follow_batch_shape_not_config(plain_model_and_vars):
     assert float(losses["loss_rpn_bbox"]) > 0, (
         "no positive anchors for a long-side GT — anchor grid is transposed"
     )
+
+
+def test_predict_with_masks_matches_two_pass():
+    """predict_with_masks (one backbone pass, the reference simple_test
+    structure) must equal predict followed by predict_masks."""
+    from balancedgroupsoftmax_tpu.config import MaskHeadConfig
+
+    cfg = dataclasses.replace(
+        tiny_config(),
+        mask_head=MaskHeadConfig(
+            num_classes=9, conv_out_channels=32, num_convs=2
+        ),
+    )
+    model = build_detector(cfg)
+    images, *_ = make_batch(b=2, size=cfg.image_size)
+    images = jnp.asarray(images)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *cfg.image_size, 3)))
+    shapes = jnp.asarray([[128.0, 128.0]] * 2)
+    sfs = jnp.ones((2,), jnp.float32)
+
+    dets = model.apply(variables, images, shapes, sfs, method="predict")
+    masks = model.apply(
+        variables, images, dets.boxes, dets.labels, sfs,
+        method="predict_masks",
+    )
+    dets_f, masks_f = model.apply(
+        variables, images, shapes, sfs, method="predict_with_masks"
+    )
+    np.testing.assert_allclose(
+        np.asarray(dets_f.boxes), np.asarray(dets.boxes), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dets_f.labels), np.asarray(dets.labels)
+    )
+    np.testing.assert_allclose(
+        np.asarray(masks_f), np.asarray(masks), rtol=1e-5, atol=1e-5
+    )

@@ -134,3 +134,31 @@ def test_htc_propose_rescore():
         for j in np.where(dv[b])[0]:
             d = np.abs(bx[b] - db[b, j][None]).max(axis=1)
             assert d.min() < 1e-4
+
+
+def test_htc_predict_with_masks_matches_two_pass():
+    """HTC's one-backbone-pass serving path == predict + predict_masks
+    (reference simple_test computes feats/semantic once, htc.py:157-199)."""
+    cfg = htc_tiny()
+    model = build_htc(cfg)
+    images, *_ = make_batch(b=1, size=cfg.image_size)
+    images = jnp.asarray(images)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *cfg.image_size, 3))
+    )
+    shapes = jnp.asarray([[128.0, 128.0]])
+    sfs = jnp.ones((1,), jnp.float32)
+    dets = model.apply(variables, images, shapes, sfs, method="predict")
+    masks = model.apply(
+        variables, images, dets.boxes, dets.labels, sfs,
+        method="predict_masks",
+    )
+    dets_f, masks_f = model.apply(
+        variables, images, shapes, sfs, method="predict_with_masks"
+    )
+    np.testing.assert_allclose(
+        np.asarray(dets_f.boxes), np.asarray(dets.boxes), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(masks_f), np.asarray(masks), rtol=1e-5, atol=1e-5
+    )

@@ -255,14 +255,25 @@ def main():
             fn = jax.jit(
                 lambda v, im, sh, sf, m=model: m.apply(v, im, sh, sf, method="predict")
             )
-        mask_fn = None
+        mask_fn = fused_fn = None
         if det_cfg.mask_head is not None:
             mask_fn = jax.jit(
                 lambda v, im, db, dl, sf, m=model: m.apply(
                     v, im, db, dl, sf, method="predict_masks"
                 )
             )
-        models[bucket] = (fn, mask_fn)
+            # single-pass serving: detections + masks from ONE backbone
+            # evaluation (reference simple_test computes feats once,
+            # two_stage.py:267-290). TTA paths must run the mask branch
+            # on the post-merge boxes instead, so they keep mask_fn.
+            if not (args.flip_aug or args.aug_scales or args.aug_rescore
+                    or args.tau_select is not None):
+                fused_fn = jax.jit(
+                    lambda v, im, sh, sf, m=model: m.apply(
+                        v, im, sh, sf, method="predict_with_masks"
+                    )
+                )
+        models[bucket] = (fn, mask_fn, fused_fn)
 
     variables = {"params": params,
                  "batch_stats": loaded.get("batch_stats", {})}
@@ -438,11 +449,19 @@ def main():
         images = jnp.asarray(images_np)
         shapes = jnp.asarray(shapes_np)
         sfs = jnp.asarray(sfs_np)
-        fn, mask_fn = models[bucket]
+        fn, mask_fn, fused_fn = models[bucket]
+        mask_probs = None
         if args.aug_rescore:
             boxes, scores, labels, valid = run_aug_rescore(
                 samples, raws, bucket
             )
+        elif fused_fn is not None:
+            dets, mprobs = fused_fn(variables, images, shapes, sfs)
+            mask_probs = np.asarray(mprobs)
+            boxes = np.array(dets.boxes)
+            scores = np.array(dets.scores)
+            labels = np.array(dets.labels)
+            valid = np.array(dets.valid)
         else:
             dets = fn(variables, images, shapes, sfs)
             # np.array (copy): the zero-copy view is read-only and the TTA
@@ -545,9 +564,9 @@ def main():
 
         # mask head runs on the FINAL (post-merge) boxes so pasted masks
         # match the reported detections (reference aug-test ordering:
-        # bbox merge first, then the mask branch on merged boxes)
-        mask_probs = None
-        if mask_fn is not None:
+        # bbox merge first, then the mask branch on merged boxes); the
+        # single-pass serving path above already produced them
+        if mask_probs is None and mask_fn is not None:
             mask_probs = np.asarray(
                 mask_fn(variables, images, jnp.asarray(boxes),
                         jnp.asarray(labels), sfs)
