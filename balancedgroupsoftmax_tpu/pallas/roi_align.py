@@ -597,19 +597,40 @@ def _bwd(strides, out_size, sample_num, finest_scale, interpret, res, g):
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(WIN_H, WIN_W, c)
-        canvas = jnp.zeros((WIN_W, WIN_W, c), jnp.float32)
-        canvas = jax.lax.dynamic_update_slice(canvas, dwin, (0, 0, 0))
-        canvas = jnp.where(por, jnp.transpose(canvas, (1, 0, 2)), canvas)
-        cur = jax.lax.dynamic_slice(
-            buf, (img, r0, c0, 0), (1, WIN_W, WIN_W, c)
-        )
-        buf = jax.lax.dynamic_update_slice(
-            buf, cur + canvas[None], (img, r0, c0, 0)
+        # The window gradient accumulates as TWO (WIN_W_LO, WIN_W_LO)
+        # half-canvases instead of one (WIN_W, WIN_W) square: the square
+        # canvas read+wrote 2x 80x80xC f32 (13 MB/roi at C=256) to carry a
+        # 32x80 window in either orientation; each 40x40 half holds the
+        # 32x40 (or transposed 40x32) half-window exactly, halving the
+        # scan's HBM traffic. Both updates stay unconditional (a lax.cond
+        # would defeat the carry's in-place aliasing — see above); the hi
+        # half of a narrow roi adds exact zeros (its wx columns are zero).
+        hw = WIN_W_LO
+
+        def half_update(buf, dwin_half, dr, dc):
+            canvas = jnp.zeros((hw, hw, c), jnp.float32)
+            canvas = jax.lax.dynamic_update_slice(canvas, dwin_half, (0, 0, 0))
+            canvas = jnp.where(por, jnp.transpose(canvas, (1, 0, 2)), canvas)
+            cur = jax.lax.dynamic_slice(
+                buf, (img, r0 + dr, c0 + dc, 0), (1, hw, hw, c)
+            )
+            return jax.lax.dynamic_update_slice(
+                buf, cur + canvas[None], (img, r0 + dr, c0 + dc, 0)
+            )
+
+        zero = jnp.int32(0)
+        off = jnp.int32(hw)
+        buf = half_update(buf, dwin[:, :hw], zero, zero)
+        # hi half sits at +hw along the ORIENTED width: cols for landscape
+        # windows, rows for portrait ones (untransposed grid coords)
+        buf = half_update(
+            buf, dwin[:, hw:],
+            jnp.where(por, off, zero), jnp.where(por, zero, off),
         )
         return buf, None
 
     buf, _ = jax.lax.scan(
-        body, buf, (g, wy, wx, img_idx, rows0, cols0, portrait)
+        body, buf, (g, wy, wx, img_idx, rows0, cols0, portrait), unroll=4
     )
 
     # keep the loop's layout choice independent of the (possibly bf16)
