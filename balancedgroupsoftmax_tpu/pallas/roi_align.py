@@ -41,7 +41,6 @@ WIN_H = 32  # short-axis window cells
 HALF_H = WIN_H // 2  # row-half DMA granularity (short rois skip the bottom)
 WIN_W = 80  # long-axis window cells (full; covers aspect ratios to ~8)
 WIN_W_LO = 40  # first width half: covers the common aspect range alone
-assert WIN_W - WIN_W_LO == WIN_W_LO  # tmp_sc scratch is shared by both halves
 ROIS_PER_BLOCK = 8  # rois per grid step for out_size<=7 (see _rois_per_block)
 
 
@@ -86,7 +85,6 @@ def _kernel(
     win_lo,
     win_hi,
     hi_sc,
-    tmp_sc,
     sem,
     *,
     out_size: int,
@@ -170,14 +168,14 @@ def _kernel(
 
         _compute_one_roi(
             r, j, meta1_ref, meta2_ref, sh_ref, sw_ref, bh_ref,
-            bw_ref, win_lo, win_hi, hi_sc, tmp_sc, out_ref, out_size,
-            sample_num, sec_h, sec_w,
+            bw_ref, win_lo, win_hi, hi_sc, out_ref, out_size, sample_num,
+            sec_h, sec_w,
         )
 
 
 def _compute_one_roi(
     r, j, meta1_ref, meta2_ref, sh_ref, sw_ref, bh_ref, bw_ref,
-    win_lo, win_hi, hi_sc, tmp_sc, out_ref, out_size, sample_num, sec_h, sec_w,
+    win_lo, win_hi, hi_sc, out_ref, out_size, sample_num, sec_h, sec_w,
 ):
     m1 = meta1_ref[r]
     m2 = meta2_ref[r]
@@ -237,40 +235,21 @@ def _compute_one_roi(
         jax.lax.Precision.HIGHEST if wdt == jnp.float32 else None
     )
 
-    tall = ((m1 >> 23) & 1) > 0
-
     def half(win, wx_part, win_w):
         # tmp[i, w, c] = sum_h wy[i, h] * win[h, w, c] — matmul in the
         # window's dtype (bf16 MXU at full rate), f32 accumulation; H is
         # the untiled dim, so contracting it first avoids an internal
         # transpose of the (sublane-tiled) W axis. Then
         # out[j, i, c] = sum_w wx[j, w] * tmp[i, w, c].
-        #
-        # The H contraction runs in ROW HALVES mirroring the DMA gating:
-        # short windows (tall=False, the common case after level routing)
-        # have wy[:, HALF_H:] exactly zero AND rows >= HALF_H never DMA'd
-        # (stale), so skipping the bottom-half matmul both halves the
-        # per-roi VMEM->MXU stream — the kernel's dominant fixed cost —
-        # and never touches stale data. The partial product accumulates
-        # through tmp_sc so the bottom half can be a pl.when branch.
-        def rows(lo, hi):
-            return jax.lax.dot_general(
-                wy[:, lo:hi].astype(wdt),
-                win[lo:hi].reshape(hi - lo, win_w * c),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )
-
-        tmp_sc[...] = rows(0, HALF_H)
-
-        @pl.when(tall)
-        def _():
-            tmp_sc[...] = tmp_sc[...] + rows(HALF_H, WIN_H)
-
+        tmp = jax.lax.dot_general(
+            wy.astype(wdt),
+            win.reshape(WIN_H, win_w * c),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        ).reshape(out_size, win_w, c)
         return jax.lax.dot_general(
-            wx_part, tmp_sc[...].reshape(out_size, win_w, c),
-            (((1,), (1,)), ((), ())),
+            wx_part, tmp, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
         )  # (j, i, c): x-bin, y-bin, C in the ORIENTED frame
@@ -427,7 +406,6 @@ def _forward(
             pltpu.VMEM((rb, WIN_H, WIN_W_LO, c), feats[0].dtype),
             pltpu.VMEM((rb, WIN_H, WIN_W - WIN_W_LO, c), feats[0].dtype),
             pltpu.VMEM((out_size, out_size, c), jnp.float32),
-            pltpu.VMEM((out_size, WIN_W_LO * c), jnp.float32),
             pltpu.SemaphoreType.DMA((rb, 4)),
         ],
     )
