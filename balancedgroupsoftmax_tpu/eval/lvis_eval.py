@@ -112,12 +112,29 @@ class LvisEvaluator:
                 d["id"] = next_id
                 next_id += 1
                 if "area" not in d:
-                    if iou_type == "bbox" or "segmentation" not in d:
+                    # LVISResults precedence (lvis-api/lvis/results.py:42-62):
+                    # a det that carries "bbox" gets w*h area even in segm
+                    # mode; segm-only dets (what segm2json emits,
+                    # mmdet/core/evaluation/lvis_utils.py:165-172) get RLE
+                    # mask area and a mask-derived bbox.
+                    if "bbox" in d:
                         d["area"] = float(d["bbox"][2] * d["bbox"][3])
-                    else:  # segm: RLE mask area (results.py parity)
-                        from ..utils.rle import rle_area
+                    else:
+                        from ..utils.rle import decode_rle, rle_area
 
                         d["area"] = float(rle_area(d["segmentation"]))
+                        m = decode_rle(d["segmentation"])
+                        ys, xs = np.nonzero(m)
+                        d["bbox"] = (
+                            [0.0, 0.0, 0.0, 0.0]
+                            if len(xs) == 0
+                            else [
+                                float(xs.min()),
+                                float(ys.min()),
+                                float(xs.max() - xs.min() + 1),
+                                float(ys.max() - ys.min() + 1),
+                            ]
+                        )
                 self.dts_by_img_cat[(img_id, d["category_id"])].append(d)
 
         # --- GT index ------------------------------------------------------

@@ -3,11 +3,14 @@
 
 Replaces the reference's tracing story (mmcv IterTimerHook + FLOPs hooks,
 SURVEY.md §5): captures an XLA/TPU trace viewable in TensorBoard or
-Perfetto, and prints steady-state step timings.
+Perfetto, and prints steady-state step timings. Covers every zoo family
+(faster/mask/cascade/HTC × plain/GS, incl. the X101-64x4d and DCN
+backbones of /root/reference/configs/bags/gs_htc_dconv_*).
 
 Usage:
   python tools/profile.py --mode infer --batch 8 --trace-dir /tmp/bags_trace
   python tools/profile.py --mode train --batch 8
+  python tools/profile.py --model gs_htc_dcn_x101 --batch 4 --pipelined
 """
 
 import argparse
@@ -24,21 +27,40 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", choices=["infer", "train"], default="infer")
-    p.add_argument("--model", default="gs_faster_rcnn_r50")
+    p.add_argument(
+        "--model", default="gs_faster_rcnn_r50",
+        choices=["faster_rcnn_r50", "gs_faster_rcnn_r50", "faster_rcnn_x101",
+                 "mask_rcnn_r50", "gs_mask_rcnn_r50", "cascade_rcnn_r50",
+                 "gs_cascade_rcnn_r50", "cascade_rcnn_x101",
+                 "gs_cascade_rcnn_x101", "htc_x101", "gs_htc_x101",
+                 "gs_htc_dcn_x101"])
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--trace-dir", default=None, help="enable jax.profiler trace")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--pipelined", action="store_true",
+                   help="depth-2 dispatch/fetch overlap (bench.py "
+                        "methodology — hides the ~33ms tunnel RTT)")
     args = p.parse_args()
 
     from balancedgroupsoftmax_tpu import zoo
     from balancedgroupsoftmax_tpu.gs.partition import synthetic_partition
-    from balancedgroupsoftmax_tpu.models.detector import build_detector
+    from balancedgroupsoftmax_tpu.models.detector import build_model
 
     builders = {
         "faster_rcnn_r50": zoo.faster_rcnn_r50_fpn_lvis,
         "gs_faster_rcnn_r50": zoo.gs_faster_rcnn_r50_fpn_lvis,
+        "faster_rcnn_x101": zoo.faster_rcnn_x101_64x4d_fpn_lvis,
+        "mask_rcnn_r50": zoo.mask_rcnn_r50_fpn_lvis,
+        "gs_mask_rcnn_r50": lambda: zoo.mask_rcnn_r50_fpn_lvis(use_gs=True),
+        "cascade_rcnn_r50": zoo.cascade_rcnn_r50_fpn_lvis,
+        "gs_cascade_rcnn_r50": lambda: zoo.cascade_rcnn_r50_fpn_lvis(use_gs=True),
+        "cascade_rcnn_x101": zoo.cascade_rcnn_x101_64x4d_fpn_lvis,
+        "gs_cascade_rcnn_x101": lambda: zoo.cascade_rcnn_x101_64x4d_fpn_lvis(use_gs=True),
+        "htc_x101": zoo.htc_x101_64x4d_fpn_lvis,
+        "gs_htc_x101": lambda: zoo.htc_x101_64x4d_fpn_lvis(use_gs=True),
+        "gs_htc_dcn_x101": lambda: zoo.htc_x101_64x4d_fpn_lvis(use_gs=True, dcn=True),
     }
     det_cfg, train_cfg = builders[args.model]()
     if args.remat:
@@ -52,7 +74,7 @@ def main():
         if det_cfg.bbox_head.use_gs
         else None
     )
-    model = build_detector(det_cfg, partition=partition, dtype=jnp.dtype(args.dtype))
+    model = build_model(det_cfg, partition=partition, dtype=jnp.dtype(args.dtype))
     h, w = det_cfg.image_size
     b = args.batch
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)))
@@ -62,10 +84,17 @@ def main():
     shapes = jnp.tile(jnp.asarray([[float(h), float(w)]]), (b, 1))
 
     if args.mode == "infer":
+        # Mask-bearing families serve the fused single-pass graph (one
+        # backbone/semantic evaluation for both branches, the reference's
+        # simple_test structure, two_stage.py:267-290 / htc.py:157-199).
+        method = "predict_with_masks" if det_cfg.mask_head is not None else "predict"
         fn = jax.jit(
-            lambda v, im, sh: model.apply(v, im, sh, jnp.ones(b), method="predict")
+            lambda v, im, sh: model.apply(
+                v, im, sh, jnp.ones(b), method=method
+            )
         )
-        run = lambda: jax.device_get(fn(variables, images, shapes))
+        dispatch = lambda: fn(variables, images, shapes)
+        run = lambda: jax.device_get(dispatch())
     else:
         from balancedgroupsoftmax_tpu.parallel.optim import make_optimizer
         from balancedgroupsoftmax_tpu.parallel.train import (
@@ -76,25 +105,39 @@ def main():
         state = create_train_state(variables, tx)
         step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
         g = det_cfg.max_gt_boxes
+        # LVIS-like log-uniform gt sizes (16-300px) — the proposal/roi mix
+        # entering the RoIAlign fwd+bwd follows these targets
+        side = np.exp(rng.uniform(np.log(16), np.log(300), (b, g, 2)))
+        x0 = rng.uniform(0, w - side[..., 0])
+        y0 = rng.uniform(0, h - side[..., 1])
+        boxes = np.stack(
+            [x0, y0, x0 + side[..., 0], y0 + side[..., 1]], axis=-1
+        ).astype(np.float32)
         batch = dict(
             images=images,
-            gt_boxes=jnp.asarray(rng.uniform(0, 400, (b, g, 4)).astype(np.float32)),
+            gt_boxes=jnp.asarray(boxes),
             gt_labels=jnp.asarray(
                 rng.randint(1, det_cfg.bbox_head.num_classes, (b, g)), jnp.int32
             ),
-            gt_mask=jnp.asarray(np.arange(g)[None, :].repeat(b, 0) < 5),
+            gt_mask=jnp.asarray(np.arange(g)[None, :].repeat(b, 0) < 12),
             img_shapes=shapes,
         )
-        batch["gt_boxes"] = batch["gt_boxes"].at[..., 2:].add(
-            batch["gt_boxes"][..., :2]
-        )
+        if det_cfg.mask_head is not None:
+            from balancedgroupsoftmax_tpu.ops.mask import GT_MASK_CROP
+
+            crops = (rng.rand(b, g, GT_MASK_CROP, GT_MASK_CROP) > 0.5).astype(
+                np.float32
+            )
+            batch["gt_mask_crops"] = jnp.asarray(crops)
         holder = {"state": state}
 
-        def run():
+        def dispatch():
             holder["state"], metrics = step(
                 holder["state"], batch, jax.random.PRNGKey(1)
             )
-            return jax.device_get(metrics["loss"])
+            return metrics["loss"]
+
+        run = lambda: jax.device_get(dispatch())
 
     t0 = time.perf_counter()
     run()
@@ -103,15 +146,24 @@ def main():
     if args.trace_dir:
         jax.profiler.start_trace(args.trace_dir)
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        run()
+    if args.pipelined:
+        pending = dispatch()
+        for _ in range(args.iters - 1):
+            nxt = dispatch()
+            jax.device_get(pending)
+            pending = nxt
+        jax.device_get(pending)
+    else:
+        for _ in range(args.iters):
+            run()
     dt = (time.perf_counter() - t0) / args.iters
     if args.trace_dir:
         jax.profiler.stop_trace()
         print(f"trace written to {args.trace_dir}")
     print(
-        f"{args.mode} steady: {dt * 1000:.1f} ms/step, "
-        f"{b / dt:.2f} images/sec (batch {b})"
+        f"{args.model} {args.mode} steady: {dt * 1000:.1f} ms/step, "
+        f"{b / dt:.2f} images/sec (batch {b}"
+        f"{', pipelined' if args.pipelined else ''})"
     )
 
 
