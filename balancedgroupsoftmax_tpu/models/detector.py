@@ -458,8 +458,14 @@ class FasterRCNN(nn.Module):
         dets = self._predict_feats(
             feats, images, img_shapes, scale_factors, rescale
         )
+        # _masks_feats pools rois at NETWORK scale: rescaled detections
+        # (original-image coords) are scaled back up; with rescale=False
+        # the boxes already sit at network scale, so the factor is 1.
         masks = self._masks_feats(
-            feats, dets.boxes, dets.labels, scale_factors
+            feats,
+            dets.boxes,
+            dets.labels,
+            scale_factors if rescale else jnp.ones_like(scale_factors),
         )
         return dets, masks
 

@@ -470,8 +470,15 @@ class HTC(nn.Module):
         dets = self._predict_feats(
             feats, images, img_shapes, scale_factors, rescale, sem_feat
         )
+        # rois pool at network scale: with rescale=False the detections
+        # already sit there, so no scale-back factor (see FasterRCNN
+        # .predict_with_masks)
         masks = self._masks_feats(
-            feats, dets.boxes, dets.labels, scale_factors, sem_feat
+            feats,
+            dets.boxes,
+            dets.labels,
+            scale_factors if rescale else jnp.ones_like(scale_factors),
+            sem_feat,
         )
         return dets, masks
 

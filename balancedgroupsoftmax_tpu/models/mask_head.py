@@ -15,6 +15,48 @@ import jax.numpy as jnp
 from ..config import MaskHeadConfig
 
 
+class _ClassSelect1x1(nn.Module):
+    """The mask head's final per-class 1x1 conv, with an optional
+    class-selected path that computes only each roi's target-class map.
+
+    Declares the SAME params an `nn.Conv` would — kernel (1, 1, C, out)
+    and bias (out,) under this module's name — so checkpoints are
+    byte-identical to the dense-conv layout, without the throwaway
+    bound-call trick (it depended on Flax inline-binding semantics and on
+    XLA DCE'ing a dummy conv)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, labels=None):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.normal(0.001),
+            (1, 1, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        if labels is None:
+            # dense path: a 1x1 conv is a channel matmul
+            return (
+                jnp.einsum(
+                    "...c,co->...o", x, kernel[0, 0].astype(self.dtype)
+                )
+                + bias.astype(self.dtype)
+            )
+        idx = jnp.clip(labels, 0, self.features - 1)
+        wsel = jnp.transpose(kernel[0, 0])[idx].astype(x.dtype)  # (..., C)
+        bsel = bias[idx].astype(jnp.float32)
+        return (
+            jnp.einsum("...hwc,...c->...hw", x, wsel).astype(jnp.float32)
+            + bsel[..., None, None]
+        ).astype(x.dtype)
+
+
 class FCNMaskHead(nn.Module):
     cfg: MaskHeadConfig
     with_conv_res: bool = False  # HTC information flow
@@ -62,30 +104,13 @@ class FCNMaskHead(nn.Module):
         )(x)
         x = nn.relu(x)
         num_out = 1 if c.class_agnostic else c.num_classes - 1
-        conv_logits = nn.Conv(
-            num_out,
-            (1, 1),
-            dtype=self.dtype,
-            kernel_init=nn.initializers.normal(0.001),
-            name="conv_logits",
+        conv_logits = _ClassSelect1x1(
+            num_out, dtype=self.dtype, name="conv_logits"
         )
         if labels is None or c.class_agnostic:
             logits = conv_logits(x)
         else:
-            # bind/create the conv's params without the dense compute
-            # (the dummy result is unused and DCE'd; init still creates
-            # the full (1,1,C,num_out) kernel so checkpoints are
-            # identical to the dense path)
-            _ = conv_logits(x[..., :1, :1, :])
-            kernel = conv_logits.variables["params"]["kernel"][0, 0]
-            bias = conv_logits.variables["params"]["bias"]
-            idx = jnp.clip(labels, 0, num_out - 1)
-            wsel = jnp.transpose(kernel)[idx].astype(x.dtype)  # (..., C)
-            bsel = bias[idx].astype(jnp.float32)
-            logits = (
-                jnp.einsum("...hwc,...c->...hw", x, wsel).astype(jnp.float32)
-                + bsel[..., None, None]
-            ).astype(x.dtype)
+            logits = conv_logits(x, labels=labels)
         if return_feat:
             return logits, feat
         return logits
