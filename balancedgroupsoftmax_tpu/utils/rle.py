@@ -1,9 +1,19 @@
-"""COCO-compatible RLE mask codec + polygon rasterization (numpy/cv2).
+"""COCO-compatible RLE mask codec + polygon rasterization (pure numpy).
 
 Replaces the pycocotools mask utilities the reference's lvis-api depends on
 (lvis-api/lvis/lvis.py ann_to_rle/ann_to_mask): column-major (Fortran) run
-lengths and the base-48 LEB128-style compressed string format, implemented
-from the published COCO format spec.
+lengths, the base-48 LEB128-style compressed string format, and the
+polygon->RLE rasterization (5x-upsampled boundary walk with column-crossing
+downsample), all implemented from the published COCO mask format spec.
+
+Rasterization fidelity (no pycocotools available offline to diff against):
+integer-coordinate rectangles rasterize to exactly [y0:y1, x0:x1] (the
+documented COCO behavior), and over the 977 real-LVIS polygons of
+lvis-api/data/lvis_val_100.json the mask areas track the annotations'
+continuous (shoelace) polygon areas to 1.1% mean relative error vs 10.2%
+for a cv2.fillPoly-based rasterizer — the residual is inherent boundary
+pixelization of small objects, not fill-convention skew
+(tests/test_mask.py::test_polygon_area_tracks_lvis_goldens).
 """
 
 from __future__ import annotations
@@ -98,14 +108,71 @@ def rle_area(rle: Dict) -> int:
     return int(sum(counts[1::2]))
 
 
-def polygons_to_mask(polys: Sequence[Sequence[float]], h: int, w: int) -> np.ndarray:
-    """Rasterize COCO polygon lists -> (H, W) uint8 mask."""
-    import cv2
+def rle_counts_from_polygon(xy: Sequence[float], h: int, w: int) -> List[int]:
+    """One polygon (flat [x0, y0, x1, y1, ...]) -> column-major RLE counts.
 
+    COCO 'crossing boundary' semantics: the boundary is walked at 5x
+    upsampling, each column crossing contributes a fill toggle at the
+    (col, ceil(row)) it crosses, and toggles with even multiplicity cancel.
+    Equivalent of pycocotools rleFrPoly (what the reference's lvis-api
+    calls through mask.frPyObjects, lvis-api/lvis/lvis.py:236-240).
+    """
+    scale = 5.0
+    pts = np.asarray(xy, np.float64).reshape(-1, 2)
+    # C-style (int)(scale * v + .5): truncation toward zero
+    x = np.trunc(scale * pts[:, 0] + 0.5).astype(np.int64)
+    y = np.trunc(scale * pts[:, 1] + 0.5).astype(np.int64)
+    x = np.append(x, x[0])
+    y = np.append(y, y[0])
+    us, vs = [], []
+    for j in range(len(x) - 1):
+        xs, xe, ys, ye = int(x[j]), int(x[j + 1]), int(y[j]), int(y[j + 1])
+        dx, dy = abs(xe - xs), abs(ys - ye)
+        flip = (dx >= dy and xs > xe) or (dx < dy and ys > ye)
+        if flip:
+            xs, xe, ys, ye = xe, xs, ye, ys
+        if dx >= dy:
+            d = np.arange(dx + 1, dtype=np.int64)
+            t = dx - d if flip else d
+            s = (ye - ys) / dx if dx else 0.0
+            us.append(t + xs)
+            vs.append(np.trunc(ys + s * t + 0.5).astype(np.int64))
+        else:
+            d = np.arange(dy + 1, dtype=np.int64)
+            t = dy - d if flip else d
+            s = (xe - xs) / dy if dy else 0.0
+            vs.append(t + ys)
+            us.append(np.trunc(xs + s * t + 0.5).astype(np.int64))
+    u = np.concatenate(us)
+    v = np.concatenate(vs)
+    # downsample: a point where the walk crosses into a new upsampled column
+    # toggles the fill state of one (row, col) cell, provided the crossing
+    # sits on an exact downsampled column boundary inside the canvas
+    cross = np.nonzero(u[1:] != u[:-1])[0] + 1
+    uj, ujm1 = u[cross], u[cross - 1]
+    xd = np.where(uj < ujm1, uj, uj - 1).astype(np.float64)
+    xd = (xd + 0.5) / scale - 0.5
+    keep = (np.floor(xd) == xd) & (xd >= 0) & (xd <= w - 1)
+    yd = np.minimum(v[cross], v[cross - 1]).astype(np.float64)
+    yd = (yd + 0.5) / scale - 0.5
+    yd = np.ceil(np.clip(yd, 0.0, float(h)))
+    pos = xd[keep].astype(np.int64) * h + yd[keep].astype(np.int64)
+    pos_u, cnt = np.unique(pos, return_counts=True)
+    pos_u = pos_u[cnt % 2 == 1]  # even-multiplicity toggles cancel
+    bounds = np.concatenate([[0], pos_u, [h * w]])
+    counts = [int(c) for c in np.diff(bounds)]
+    if len(counts) > 1 and counts[-1] == 0:  # toggle exactly at h*w
+        counts.pop()
+    return counts
+
+
+def polygons_to_mask(polys: Sequence[Sequence[float]], h: int, w: int) -> np.ndarray:
+    """Rasterize COCO polygon lists -> (H, W) uint8 mask (union of the
+    per-polygon RLEs, the lvis-api ann_to_mask merge semantics)."""
     mask = np.zeros((h, w), np.uint8)
-    pts = [np.asarray(p, np.float64).reshape(-1, 2) for p in polys if len(p) >= 6]
-    if pts:
-        cv2.fillPoly(mask, [np.round(p).astype(np.int32) for p in pts], 1)
+    for p in polys:
+        if len(p) >= 6:
+            mask |= counts_to_mask(rle_counts_from_polygon(p, h, w), h, w)
     return mask
 
 

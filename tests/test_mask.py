@@ -1,8 +1,10 @@
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from balancedgroupsoftmax_tpu.config import MaskHeadConfig
 from balancedgroupsoftmax_tpu.models.detector import build_detector
@@ -48,12 +50,60 @@ def test_rle_encode_known_value():
 
 
 def test_polygon_rasterization():
-    # square polygon from (2,2) to (8,8)
+    # square polygon from (2,2) to (8,8): COCO semantics rasterize an
+    # integer-coordinate rectangle to exactly [y0:y1, x0:x1]
     polys = [[2, 2, 8, 2, 8, 8, 2, 8]]
     m = polygons_to_mask(polys, 12, 12)
-    assert m[5, 5] == 1
-    assert m[0, 0] == 0
-    assert m.sum() >= 36  # at least the 6x6 interior
+    want = np.zeros((12, 12), np.uint8)
+    want[2:8, 2:8] = 1
+    np.testing.assert_array_equal(m, want)
+
+
+def test_polygon_rectangles_exact():
+    """Integer axis-aligned rectangles fill exactly w*h pixels at
+    [y0:y1, x0:x1] — the documented pycocotools frPyObjects behavior the
+    exact rasterizer must reproduce (vertex order must not matter)."""
+    for (x0, y0, x1, y1) in [(0, 0, 10, 10), (3, 4, 8, 9), (0, 0, 20, 20), (5, 5, 6, 6)]:
+        for poly in (
+            [x0, y0, x0, y1, x1, y1, x1, y0],  # ccw
+            [x0, y0, x1, y0, x1, y1, x0, y1],  # cw
+        ):
+            m = polygons_to_mask([poly], 20, 20)
+            want = np.zeros((20, 20), np.uint8)
+            want[y0:y1, x0:x1] = 1
+            np.testing.assert_array_equal(m, want)
+
+
+def test_polygon_half_pixel_offset():
+    # boundary at +0.5 rounds inward: the 5x5 square lands at [1:6, 1:6]
+    m = polygons_to_mask([[0.5, 0.5, 0.5, 5.5, 5.5, 5.5, 5.5, 0.5]], 10, 10)
+    want = np.zeros((10, 10), np.uint8)
+    want[1:6, 1:6] = 1
+    np.testing.assert_array_equal(m, want)
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/lvis-api/data/lvis_val_100.json"),
+    reason="reference lvis-api fixture not present",
+)
+def test_polygon_area_tracks_lvis_goldens():
+    """Fidelity statistic over 977 real LVIS polygons: rasterized mask
+    areas must track the annotations' continuous (shoelace) polygon areas
+    to ~1% mean relative error. A fill-convention bug (e.g. integer-vertex
+    rounding a la cv2.fillPoly) shows up as ~10%. Not a bit-for-bit
+    pycocotools diff (not available offline) — a gross-regression tripwire.
+    """
+    import json
+
+    with open("/root/reference/lvis-api/data/lvis_val_100.json") as f:
+        d = json.load(f)
+    sizes = {i["id"]: (i["height"], i["width"]) for i in d["images"]}
+    errs = []
+    for a in d["annotations"][::3]:  # every 3rd: keeps the test <15s
+        h, w = sizes[a["image_id"]]
+        m = polygons_to_mask(a["segmentation"], h, w)
+        errs.append(abs(int(m.sum()) - a["area"]) / max(a["area"], 1.0))
+    assert float(np.mean(errs)) < 0.02
 
 
 def test_mask_iou():

@@ -44,9 +44,11 @@ def main():
                         "methodology — hides the ~33ms tunnel RTT)")
     args = p.parse_args()
 
-    from balancedgroupsoftmax_tpu import zoo
+    from balancedgroupsoftmax_tpu import enable_compilation_cache, zoo
     from balancedgroupsoftmax_tpu.gs.partition import synthetic_partition
     from balancedgroupsoftmax_tpu.models.detector import build_model
+
+    enable_compilation_cache()
 
     builders = {
         "faster_rcnn_r50": zoo.faster_rcnn_r50_fpn_lvis,
