@@ -486,7 +486,11 @@ class FasterRCNN(nn.Module):
             # class-selected logits: never materialize the (B, M, 2S, 2S,
             # num_fg) dense tensor (num_fg=1230 on LVIS)
             sel = self.mask_head(pooled, labels=det_labels)
-        return jax.nn.sigmoid(sel.astype(jnp.float32))
+        # sigmoid in f32, returned in the model dtype: serving fetches
+        # (B, M, 2S, 2S) probabilities to host every step, and on bf16
+        # models halving the bytes halves the transfer (the paste +
+        # 0.5-threshold consumer is insensitive at bf16 resolution)
+        return jax.nn.sigmoid(sel.astype(jnp.float32)).astype(self.dtype)
 
 
 def build_detector(cfg: DetectorConfig, partition=None, dtype=jnp.float32) -> FasterRCNN:

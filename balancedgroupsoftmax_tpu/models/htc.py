@@ -511,7 +511,9 @@ class HTC(nn.Module):
             agg = logits if agg is None else agg + logits
         avg = agg.astype(jnp.float32) / c.cascade.num_stages
         sel = avg[..., 0] if c.mask_head.class_agnostic else avg
-        return jax.nn.sigmoid(sel)
+        # model-dtype output: halves the per-step mask fetch on bf16 (see
+        # FasterRCNN._masks_feats)
+        return jax.nn.sigmoid(sel).astype(self.dtype)
 
 
 def build_htc(cfg: DetectorConfig, partition=None, dtype=jnp.float32) -> HTC:

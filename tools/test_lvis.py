@@ -457,7 +457,7 @@ def main():
             )
         elif fused_fn is not None:
             dets, mprobs = fused_fn(variables, images, shapes, sfs)
-            mask_probs = np.asarray(mprobs)
+            mask_probs = np.asarray(mprobs, np.float32)  # bf16-safe for cv2
             boxes = np.array(dets.boxes)
             scores = np.array(dets.scores)
             labels = np.array(dets.labels)
@@ -569,7 +569,8 @@ def main():
         if mask_probs is None and mask_fn is not None:
             mask_probs = np.asarray(
                 mask_fn(variables, images, jnp.asarray(boxes),
-                        jnp.asarray(labels), sfs)
+                        jnp.asarray(labels), sfs),
+                np.float32,  # bf16-safe for cv2
             )
 
         for bi, (idx, _, _) in enumerate(buf):
