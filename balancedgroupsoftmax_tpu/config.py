@@ -134,6 +134,9 @@ class BackboneConfig:
     base_width: int = 4
     # stages where deformable conv replaces the 3x3 (HTC-DCN)
     dcn_stages: Tuple[bool, ...] = (False, False, False, False)
+    # DCN v2 (modulated). The shipped top-line config is v1:
+    # gs_htc_dconv_c3-c5_*.py dcn=dict(modulated=False, groups=64)
+    dcn_modulated: bool = False
     # rematerialize residual blocks (jax.checkpoint) — trades FLOPs for
     # activation memory, enabling larger train batches
     remat: bool = False

@@ -56,6 +56,7 @@ class FasterRCNN(nn.Module):
             groups=c.backbone.groups,
             base_width=c.backbone.base_width,
             dcn_stages=c.backbone.dcn_stages,
+            dcn_modulated=c.backbone.dcn_modulated,
             remat=c.backbone.remat,
             dtype=self.dtype,
             name="backbone",

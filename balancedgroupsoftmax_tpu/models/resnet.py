@@ -57,6 +57,8 @@ class Bottleneck(nn.Module):
     groups: int = 1
     base_width: int = 4
     use_dcn: bool = False  # deformable conv2 (HTC-DCN: dconv c3-c5)
+    # shipped DCN configs are v1 (gs_htc_dconv_*: dcn=dict(modulated=False))
+    dcn_modulated: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -76,12 +78,15 @@ class Bottleneck(nn.Module):
         if self.use_dcn:
             from ..ops.deform_conv import DeformConv
 
+            # parity: the grouped 3x3 stays grouped under DCN
+            # (resnext.py:74-83 passes groups into the deform conv op)
             y = DeformConv(
                 width,
                 kernel_size=3,
                 stride=self.stride,
                 padding=1,
-                modulated=True,
+                modulated=self.dcn_modulated,
+                groups=self.groups,
                 dtype=self.dtype,
                 name="conv2",
             )(y)
@@ -120,6 +125,7 @@ class ResNet(nn.Module):
     base_width: int = 4
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     dcn_stages: Tuple[bool, ...] = (False, False, False, False)
+    dcn_modulated: bool = False
     remat: bool = False  # rematerialize blocks (activation checkpointing)
     dtype: jnp.dtype = jnp.float32
 
@@ -151,6 +157,7 @@ class ResNet(nn.Module):
                     groups=self.groups,
                     base_width=self.base_width,
                     use_dcn=self.dcn_stages[stage],
+                    dcn_modulated=self.dcn_modulated,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{b}",
                 )(x)

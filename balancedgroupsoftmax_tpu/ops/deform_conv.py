@@ -57,15 +57,21 @@ def _bilinear_hw(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndar
 def deform_conv2d(
     x: jnp.ndarray,  # (H, W, C_in) single image
     offsets: jnp.ndarray,  # (H_out, W_out, 2*kh*kw) — (dy, dx) per tap
-    weight: jnp.ndarray,  # (kh, kw, C_in, C_out)
+    weight: jnp.ndarray,  # (kh, kw, C_in // groups, C_out) — flax layout
     mask: jnp.ndarray | None = None,  # (H_out, W_out, kh*kw) v2 modulation
     stride: int = 1,
     padding: int = 1,
+    groups: int = 1,
 ) -> jnp.ndarray:
     """(H_out, W_out, C_out). Offset layout matches the reference's
     conv_offset output: channel 2k = dy of tap k, 2k+1 = dx (row-major
-    taps)."""
-    kh, kw, c_in, c_out = weight.shape
+    taps). groups follows the grouped-conv semantics of the CUDA kernel
+    (deform_conv_cuda.cpp `group` — input group g contracts against output
+    slice g), which the X101-64x4d DCN configs rely on (dcn=dict(groups=64),
+    gs_htc_dconv_c3-c5_*.py)."""
+    kh, kw, c_g, c_out = weight.shape
+    c_in = x.shape[-1]
+    assert c_g * groups == c_in and c_out % groups == 0
     h_out, w_out = offsets.shape[0], offsets.shape[1]
     taps = kh * kw
 
@@ -83,9 +89,27 @@ def deform_conv2d(
     cols = _bilinear_hw(x, ys, xs)  # (H_out, W_out, taps, C_in)
     if mask is not None:
         cols = cols * mask[..., None]
-    cols = cols.reshape(h_out * w_out, taps * c_in)
-    w2 = weight.reshape(taps, c_in, c_out).reshape(taps * c_in, c_out)
-    out = jnp.dot(cols, w2, preferred_element_type=jnp.float32)
+    if groups == 1:
+        cols = cols.reshape(h_out * w_out, taps * c_in)
+        w2 = weight.reshape(taps * c_in, c_out)
+        out = jnp.dot(cols, w2, preferred_element_type=jnp.float32)
+    else:
+        # grouped: input group g x kernel output slice g — a batched matmul
+        # over G small (HW, taps*Cg) @ (taps*Cg, Og) contractions. 64x fewer
+        # FLOPs than the dense form at X101's G=64 (and the dense form is
+        # NOT the reference's semantics).
+        og = c_out // groups
+        cg = cols.reshape(h_out * w_out, taps, groups, c_g)
+        cg = jnp.transpose(cg, (2, 0, 1, 3)).reshape(
+            groups, h_out * w_out, taps * c_g
+        )
+        wg = weight.reshape(taps, c_g, groups, og)
+        wg = jnp.transpose(wg, (2, 0, 1, 3)).reshape(groups, taps * c_g, og)
+        out = jax.lax.dot_general(
+            cg, wg, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, HW, Og)
+        out = jnp.transpose(out, (1, 0, 2)).reshape(h_out * w_out, c_out)
     return out.reshape(h_out, w_out, c_out).astype(x.dtype)
 
 
@@ -147,6 +171,7 @@ class DeformConv(nn.Module):
     stride: int = 1
     padding: int = 1
     modulated: bool = True  # v2
+    groups: int = 1  # grouped conv (X101 DCN configs: dcn=dict(groups=64))
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -177,19 +202,19 @@ class DeformConv(nn.Module):
         weight = self.param(
             "kernel",
             nn.initializers.he_normal(),
-            (k, k, x.shape[-1], self.features),
+            (k, k, x.shape[-1] // self.groups, self.features),
         )
 
         if mask is not None:
             out = jax.vmap(
                 lambda xi, oi, mi: deform_conv2d(
-                    xi, oi, weight, mi, self.stride, self.padding
+                    xi, oi, weight, mi, self.stride, self.padding, self.groups
                 )
             )(x, offsets, mask)
         else:
             out = jax.vmap(
                 lambda xi, oi: deform_conv2d(
-                    xi, oi, weight, None, self.stride, self.padding
+                    xi, oi, weight, None, self.stride, self.padding, self.groups
                 )
             )(x, offsets)
         if self.use_bias:

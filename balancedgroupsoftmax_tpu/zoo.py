@@ -136,7 +136,9 @@ def htc_x101_64x4d_fpn_lvis(
             depth=101,
             groups=64,
             base_width=4,
-            dcn_stages=(False, False, True, True) if dcn else (False,) * 4,
+            # stage_with_dcn=(False, True, True, True) — c3-c5
+            # (gs_htc_dconv_c3-c5_mstrain_400_1400_x101_64x4d_fpn_20e_lvis.py:22)
+            dcn_stages=(False, True, True, True) if dcn else (False,) * 4,
         ),
         bbox_head=BBoxHeadConfig(
             num_classes=num_classes,

@@ -101,3 +101,72 @@ def test_resnet_dcn_stages():
     assert "conv_offset" in p["layer4_block2"]["conv2"]
     outs = model.apply(variables, x)
     assert len(outs) == 4
+
+
+def test_grouped_zero_offset_equals_grouped_conv():
+    """groups>1 parity: the X101 DCN keeps conv2 grouped
+    (resnext.py:74-83 passes groups into the deform conv;
+    gs_htc_dconv_c3-c5_*.py dcn=dict(groups=64))."""
+    import flax.linen as nn
+
+    rng = np.random.RandomState(4)
+    g, cg, co = 4, 3, 8  # C_in = 12, 2 out channels per group
+    x = rng.randn(10, 12, g * cg).astype(np.float32)
+    w = (rng.randn(3, 3, cg, co) * 0.2).astype(np.float32)
+    offsets = np.zeros((10, 12, 18), np.float32)
+    got = np.asarray(
+        deform_conv2d(
+            jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(w), groups=g
+        )
+    )
+    ref_conv = nn.Conv(
+        co, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+        feature_group_count=g,
+    )
+    ref = ref_conv.apply({"params": {"kernel": jnp.asarray(w)}}, x[None])[0]
+    np.testing.assert_allclose(got, np.asarray(ref), atol=1e-4)
+
+
+def test_grouped_fractional_offset_matches_dense_blockdiag():
+    """Fractional offsets through the grouped path == the dense path with a
+    block-diagonal kernel (same math, 1/G the FLOPs)."""
+    rng = np.random.RandomState(5)
+    g, cg, co = 2, 2, 4
+    c_in = g * cg
+    x = rng.randn(7, 9, c_in).astype(np.float32)
+    w = (rng.randn(3, 3, cg, co) * 0.3).astype(np.float32)
+    offsets = (rng.randn(7, 9, 18) * 0.7).astype(np.float32)
+    got = np.asarray(
+        deform_conv2d(
+            jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(w), groups=g
+        )
+    )
+    # dense block-diagonal equivalent: group g's input slice feeds only its
+    # output slice
+    og = co // g
+    wd = np.zeros((3, 3, c_in, co), np.float32)
+    for i in range(g):
+        wd[:, :, i * cg : (i + 1) * cg, i * og : (i + 1) * og] = w[
+            :, :, :, i * og : (i + 1) * og
+        ]
+    ref = np.asarray(
+        deform_conv2d(jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(wd))
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_dcn_x101_block_is_v1_grouped():
+    """The top-line config's DCN block: v1 (18 offset channels, no mask)
+    with the grouped kernel shape (gs_htc_dconv config parity)."""
+    from balancedgroupsoftmax_tpu.models.resnet import Bottleneck
+
+    block = Bottleneck(planes=128, groups=4, base_width=4, use_dcn=True)
+    width = int(128 * (4 / 64.0)) * 4  # ResNeXt width rule
+    x = jnp.zeros((1, 16, 16, 64))
+    variables = block.init(jax.random.PRNGKey(0), x)
+    p = variables["params"]
+    off_kernel = p["conv2"]["conv_offset"]["kernel"]
+    assert off_kernel.shape[-1] == 18  # v1: 2*3*3, no modulation channels
+    assert p["conv2"]["kernel"].shape == (3, 3, width // 4, width)
+    out = block.apply(variables, x)
+    assert out.shape == (1, 16, 16, 512)
