@@ -50,14 +50,30 @@ def create_train_state(variables, tx) -> TrainState:
     )
 
 
-def make_train_step(model, tx):
+def make_train_step(model, tx, trainable=None):
     """Returns train_step(state, batch, key) -> (state, metrics).
 
     batch: dict with images (B,H,W,3), gt_boxes (B,G,4), gt_labels (B,G),
     gt_mask (B,G), img_shapes (B,2).
+
+    trainable: optional bool pytree matching params (parallel.optim.
+    trainable_mask). Frozen leaves get stop_gradient'd INSIDE the loss, so
+    JAX's symbolic-zero cotangents elide their backward compute at trace
+    time — the requires_grad=False semantics of the reference
+    (apis/train.py:100): torch never runs autograd into frozen subtrees,
+    and neither should we. Without it the optimizer merely zeroes the
+    updates (parallel/optim._zero_frozen) and the whole backward still
+    runs — at selectp=1 (the BAGS phase-2 recipe, only fc_cls training)
+    that wastes the entire backbone+neck backward every step.
     """
 
     def loss_fn(params, batch_stats, batch, key):
+        if trainable is not None:
+            params = jax.tree_util.tree_map(
+                lambda p, m: p if m else jax.lax.stop_gradient(p),
+                params,
+                trainable,
+            )
         losses = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["images"],

@@ -107,6 +107,43 @@ def test_selectp1_only_fc_cls_moves():
             assert not changed, name
 
 
+def test_trainable_mask_elides_frozen_backward_equivalently():
+    """make_train_step(trainable=mask): frozen subtrees' backward is elided
+    via stop_gradient (requires_grad=False parity, reference
+    apis/train.py:100) — the resulting update must be IDENTICAL to the
+    mask-less step (whose optimizer zeroes frozen updates after a wasted
+    full backward), including the global-norm grad clip, because
+    _zero_frozen runs before the clip in both cases."""
+    cfg = tiny_config(use_gs=True)
+    model = build_detector(cfg, partition=tiny_partition())
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    tcfg = TrainConfig(lr=0.01, warmup_iters=1, selectp=1)
+    tx = make_optimizer(tcfg, variables["params"])
+    mask = trainable_mask(variables["params"], tcfg.selectp)
+    batch_t = make_batch(b=2)
+    batch = dict(
+        images=batch_t[0], gt_boxes=batch_t[1], gt_labels=batch_t[2],
+        gt_mask=batch_t[3], img_shapes=batch_t[4],
+    )
+
+    state_a = create_train_state(variables, tx)
+    state_b = create_train_state(variables, tx)
+    step_full = jax.jit(make_train_step(model, tx))
+    step_elided = jax.jit(make_train_step(model, tx, trainable=mask))
+    new_a, m_a = step_full(state_a, batch, jax.random.PRNGKey(1))
+    new_b, m_b = step_elided(state_b, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6)
+    for (pa, va), (pb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(new_a.params),
+        jax.tree_util.tree_leaves_with_path(new_b.params),
+    ):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=1e-6, atol=1e-7,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
 def test_multichip_dp_train_step():
     """8-way data parallel on the virtual CPU mesh."""
     assert jax.device_count() == 8

@@ -39,6 +39,11 @@ def main():
     p.add_argument("--trace-dir", default=None, help="enable jax.profiler trace")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--selectp", type=int, default=None,
+                   help="override the config's selectp for --mode train "
+                        "(0 = full training; gs configs default to the "
+                        "phase-2 recipe selectp>=1, whose frozen backward "
+                        "is now elided)")
     p.add_argument("--pipelined", action="store_true",
                    help="depth-2 dispatch/fetch overlap (bench.py "
                         "methodology — hides the ~33ms tunnel RTT)")
@@ -98,14 +103,25 @@ def main():
         dispatch = lambda: fn(variables, images, shapes)
         run = lambda: jax.device_get(dispatch())
     else:
-        from balancedgroupsoftmax_tpu.parallel.optim import make_optimizer
+        from balancedgroupsoftmax_tpu.parallel.optim import (
+            make_optimizer, trainable_mask,
+        )
         from balancedgroupsoftmax_tpu.parallel.train import (
             create_train_state, make_train_step,
         )
 
+        import dataclasses as _dc
+        if args.selectp is not None:
+            train_cfg = _dc.replace(train_cfg, selectp=args.selectp)
         tx = make_optimizer(train_cfg, variables["params"])
+        mask = trainable_mask(
+            variables["params"], train_cfg.selectp,
+            det_cfg.backbone.frozen_stages,
+        )
         state = create_train_state(variables, tx)
-        step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+        step = jax.jit(
+            make_train_step(model, tx, trainable=mask), donate_argnums=(0,)
+        )
         g = det_cfg.max_gt_boxes
         # LVIS-like log-uniform gt sizes (16-300px) — the proposal/roi mix
         # entering the RoIAlign fwd+bwd follows these targets

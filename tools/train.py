@@ -278,7 +278,14 @@ def main():
     mesh = make_mesh(n_mesh)
     if n_mesh != jax.device_count():
         print(f"using {n_mesh}/{jax.device_count()} devices (batch {batch_size})")
-    step_fn = shard_train_step(make_train_step(model, tx), mesh)
+    # the trainable mask both masks the optimizer AND elides the frozen
+    # subtrees' backward (requires_grad=False parity, apis/train.py:100)
+    from balancedgroupsoftmax_tpu.parallel.optim import trainable_mask
+
+    mask = trainable_mask(
+        state.params, train_cfg.selectp, det_cfg.backbone.frozen_stages
+    )
+    step_fn = shard_train_step(make_train_step(model, tx, trainable=mask), mesh)
     state = jax.device_put(
         state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
     )
