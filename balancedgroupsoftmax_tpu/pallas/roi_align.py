@@ -37,6 +37,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.roi_align import map_roi_levels
 
+# Build the per-roi (os, WIN) interpolation matrices batched in XLA and
+# stream them into the kernel as pipelined VMEM inputs, instead of per-roi
+# VPU construction on the Mosaic side (an experiment against the kernel's
+# measured per-roi fixed-latency floor; ~3 KB/roi extra HBM traffic).
+PRECOMPUTED_INTERP = False
+
+# Backward strategy: False = per-roi half-canvas lax.scan (sequential
+# read-modify-write, collision-free by construction); True = chunked
+# jax.lax.scatter_add of batched window gradients (two big MXU einsums per
+# chunk + window-granular scatter; collisions are scatter-add semantics).
+BWD_SCATTER = False
+BWD_SCATTER_CHUNK = 256
+
 WIN_H = 32  # short-axis window cells
 HALF_H = WIN_H // 2  # row-half DMA granularity (short rois skip the bottom)
 WIN_W = 80  # long-axis window cells (full; covers aspect ratios to ~8)
@@ -81,19 +94,22 @@ def _kernel(
     bw_ref,  # (R,) f32 bin_w
     # input (HBM): the stacked (B, sum_sections_H, max_W, C) pyramid
     f,
-    out_ref,
-    win_lo,
-    win_hi,
-    hi_sc,
-    sem,
-    *,
+    *rest,
     out_size: int,
     sample_num: int,
     rb: int,
     row_off: tuple,  # static per-section row offset in the stacked buffer
     sec_h: tuple,  # static per-section ORIENTED level height (f32)
     sec_w: tuple,  # static per-section ORIENTED level width (f32)
+    precomputed_interp: bool = False,
 ):
+    if precomputed_interp:
+        # interp matrices arrive as pipelined VMEM inputs (built batched in
+        # XLA host-graph) instead of per-roi VPU construction in-kernel
+        wy_ref, wx_ref, out_ref, win_lo, win_hi, hi_sc, sem = rest
+    else:
+        wy_ref = wx_ref = None
+        out_ref, win_lo, win_hi, hi_sc, sem = rest
     blk = pl.program_id(0)
 
     # The interp weights of a roi are zero on window rows/cols its samples
@@ -169,59 +185,65 @@ def _kernel(
         _compute_one_roi(
             r, j, meta1_ref, meta2_ref, sh_ref, sw_ref, bh_ref,
             bw_ref, win_lo, win_hi, hi_sc, out_ref, out_size, sample_num,
-            sec_h, sec_w,
+            sec_h, sec_w, wy_ref, wx_ref,
         )
 
 
 def _compute_one_roi(
     r, j, meta1_ref, meta2_ref, sh_ref, sw_ref, bh_ref, bw_ref,
     win_lo, win_hi, hi_sc, out_ref, out_size, sample_num, sec_h, sec_w,
+    wy_ref=None, wx_ref=None,
 ):
     m1 = meta1_ref[r]
     m2 = meta2_ref[r]
     src = (m1 >> 16) & 0x1F
-    start_h = sh_ref[r]
-    start_w = sw_ref[r]
-    bin_h = bh_ref[r]
-    bin_w = bw_ref[r]
-    h_l = _sel_table(src, sec_h, jnp.float32)
-    w_l = _sel_table(src, sec_w, jnp.float32)
     portrait = ((m1 >> 21) & 1) > 0
 
-    idx = jax.lax.broadcasted_iota(jnp.int32, (out_size, 1), 0).astype(
-        jnp.float32
-    )
+    if wy_ref is not None:
+        wy = wy_ref[j]  # (os, WIN_H) — precomputed batched in XLA
+        wx = wx_ref[j]  # (os, WIN_W)
+    else:
+        start_h = sh_ref[r]
+        start_w = sw_ref[r]
+        bin_h = bh_ref[r]
+        bin_w = bw_ref[r]
+        h_l = _sel_table(src, sec_h, jnp.float32)
+        w_l = _sel_table(src, sec_w, jnp.float32)
 
-    def interp_matrix(start, bin_sz, size_l, origin, win):
-        """(out_size, win) separable bilinear weights with the sample_num
-        x sample_num average pooling FOLDED IN (pooling commutes with the
-        linear interpolation): row k is the mean of the sample_num sample
-        rows of bin k. CUDA boundary rules per sample."""
-        cols = jax.lax.broadcasted_iota(jnp.int32, (out_size, win), 1).astype(
+        idx = jax.lax.broadcasted_iota(jnp.int32, (out_size, 1), 0).astype(
             jnp.float32
         )
-        m_sum = jnp.zeros((out_size, win), jnp.float32)
-        for s in range(sample_num):
-            pos = start + bin_sz * (idx + (s + 0.5) / sample_num)
-            valid = (pos >= -1.0) & (pos <= size_l)
-            p = jnp.maximum(pos, 0.0)
-            low = jnp.floor(p)
-            collapse = low >= size_l - 1.0
-            low = jnp.where(collapse, size_l - 1.0, low)
-            p_eff = jnp.where(collapse, low, p)
-            high = jnp.where(collapse, low, low + 1.0)
-            lfrac = p_eff - low
-            hfrac = 1.0 - lfrac
-            low_w = jnp.clip(low - origin, 0.0, win - 1.0)
-            high_w = jnp.clip(high - origin, 0.0, win - 1.0)
-            m = hfrac * (cols == low_w) + lfrac * (cols == high_w)
-            m_sum = m_sum + jnp.where(valid, m, 0.0)
-        return m_sum / sample_num
 
-    y0f = (m2 & 0xFFFF).astype(jnp.float32)  # window origin in LEVEL coords
-    x0f = ((m2 >> 16) & 0xFFFF).astype(jnp.float32)
-    wy = interp_matrix(start_h, bin_h, h_l, y0f, WIN_H)  # (os, WIN_H)
-    wx = interp_matrix(start_w, bin_w, w_l, x0f, WIN_W)  # (os, WIN_W)
+        def interp_matrix(start, bin_sz, size_l, origin, win):
+            """(out_size, win) separable bilinear weights with the sample_num
+            x sample_num average pooling FOLDED IN (pooling commutes with the
+            linear interpolation): row k is the mean of the sample_num sample
+            rows of bin k. CUDA boundary rules per sample."""
+            cols = jax.lax.broadcasted_iota(jnp.int32, (out_size, win), 1).astype(
+                jnp.float32
+            )
+            m_sum = jnp.zeros((out_size, win), jnp.float32)
+            for s in range(sample_num):
+                pos = start + bin_sz * (idx + (s + 0.5) / sample_num)
+                valid = (pos >= -1.0) & (pos <= size_l)
+                p = jnp.maximum(pos, 0.0)
+                low = jnp.floor(p)
+                collapse = low >= size_l - 1.0
+                low = jnp.where(collapse, size_l - 1.0, low)
+                p_eff = jnp.where(collapse, low, p)
+                high = jnp.where(collapse, low, low + 1.0)
+                lfrac = p_eff - low
+                hfrac = 1.0 - lfrac
+                low_w = jnp.clip(low - origin, 0.0, win - 1.0)
+                high_w = jnp.clip(high - origin, 0.0, win - 1.0)
+                m = hfrac * (cols == low_w) + lfrac * (cols == high_w)
+                m_sum = m_sum + jnp.where(valid, m, 0.0)
+            return m_sum / sample_num
+
+        y0f = (m2 & 0xFFFF).astype(jnp.float32)  # window origin in LEVEL coords
+        x0f = ((m2 >> 16) & 0xFFFF).astype(jnp.float32)
+        wy = interp_matrix(start_h, bin_h, h_l, y0f, WIN_H)  # (os, WIN_H)
+        wx = interp_matrix(start_w, bin_w, w_l, x0f, WIN_W)  # (os, WIN_W)
 
     wlo = win_lo[j][...]  # (WIN_H, WIN_W_LO, C), native dtype (bf16 prod)
     c = wlo.shape[-1]
@@ -389,14 +411,33 @@ def _forward(
     n_rois = b * r
     n_pad = (-n_rois) % rb
     if n_pad:
-        pad1 = lambda a: jnp.concatenate([a, jnp.zeros((n_pad,), a.dtype)])
+        pad1 = lambda a: jnp.concatenate(
+            [a, jnp.zeros((n_pad,) + a.shape[1:], a.dtype)]
+        )
     else:
         pad1 = lambda a: a
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    extra_inputs = []
+    if PRECOMPUTED_INTERP:
+        wy_all = _interp_matrices(
+            o_start_h, o_bin_h, o_h, y0.astype(jnp.float32), WIN_H,
+            out_size, sample_num,
+        )
+        wx_all = _interp_matrices(
+            o_start_w, o_bin_w, o_w, x0.astype(jnp.float32), WIN_W,
+            out_size, sample_num,
+        )
+        in_specs += [
+            pl.BlockSpec((rb, out_size, WIN_H), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((rb, out_size, WIN_W), lambda i, *_: (i, 0, 0)),
+        ]
+        extra_inputs = [pad1(wy_all), pad1(wx_all)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=((n_rois + n_pad) // rb,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (rb, out_size, out_size, c),
             lambda i, *_: (i, 0, 0, 0),
@@ -414,6 +455,7 @@ def _forward(
             _kernel, out_size=out_size, sample_num=sample_num, rb=rb,
             row_off=tuple(int(v) for v in row_off),
             sec_h=sec_h, sec_w=sec_w,
+            precomputed_interp=PRECOMPUTED_INTERP,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
@@ -428,6 +470,7 @@ def _forward(
         pad1(o_bin_h),
         pad1(o_bin_w),
         stacked,
+        *extra_inputs,
     )[:n_rois]
 
     # the sample-grid average pooling is folded into the kernel's
@@ -579,6 +622,73 @@ def _bwd(strides, out_size, sample_num, finest_scale, interpret, res, g):
     # [x0, x0+WIN_W) and cols [y0, y0+WIN_H) of the UNTRANSPOSED grid
     rows0 = off_r + jnp.where(portrait, x0, y0)
     cols0 = jnp.where(portrait, y0, x0)
+
+    if BWD_SCATTER:
+        n = b * r
+        chunk = BWD_SCATTER_CHUNK
+        while n % chunk:
+            chunk //= 2
+        hw = WIN_W_LO
+        dims = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1, 2, 3),
+            inserted_window_dims=(0,),
+            scatter_dims_to_operand_dims=(0, 1, 2),
+        )
+
+        def chunk_body(buf, per):
+            g_c, wy_c, wx_c, img, r0, c0, por = per
+            g_or = jnp.where(
+                por[:, None, None, None], g_c, jnp.transpose(g_c, (0, 2, 1, 3))
+            )
+            dtmp = jnp.einsum("njw,njic->nwic", wx_c, g_or)
+            dwin = jnp.einsum("nih,nwic->nhwc", wy_c, dtmp)
+
+            def half(dwin_half, dr, dc):
+                canvas = jnp.zeros((dwin_half.shape[0], hw, hw, c), jnp.float32)
+                canvas = jax.lax.dynamic_update_slice(
+                    canvas, dwin_half, (0, 0, 0, 0)
+                )
+                canvas = jnp.where(
+                    por[:, None, None, None],
+                    jnp.transpose(canvas, (0, 2, 1, 3)),
+                    canvas,
+                )
+                return canvas, jnp.stack([img, r0 + dr, c0 + dc], axis=-1)
+
+            zero = jnp.zeros_like(r0)
+            off = jnp.full_like(r0, hw)
+            cv1, i1 = half(dwin[:, :, :hw], zero, zero)
+            cv2, i2 = half(
+                dwin[:, :, hw:],
+                jnp.where(por, off, zero),
+                jnp.where(por, zero, off),
+            )
+            return (
+                jax.lax.scatter_add(
+                    buf,
+                    jnp.concatenate([i1, i2], axis=0),
+                    jnp.concatenate([cv1, cv2], axis=0),
+                    dims,
+                ),
+                None,
+            )
+
+        rc = lambda a: a.reshape((n // chunk, chunk) + a.shape[1:])
+        buf, _ = jax.lax.scan(
+            chunk_body,
+            buf,
+            tuple(rc(a) for a in (g, wy, wx, img_idx, rows0, cols0, portrait)),
+        )
+        buf = jax.lax.optimization_barrier(buf)
+        return (
+            tuple(
+                buf[
+                    :, row_off[i] : row_off[i] + int(hs[i]), : int(ws[i]), :
+                ].astype(feats[i].dtype)
+                for i in range(num_levels)
+            ),
+            None,
+        )
 
     def body(buf, per_roi):
         g_r, wy_r, wx_r, img, r0, c0, por = per_roi

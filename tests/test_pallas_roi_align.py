@@ -84,3 +84,43 @@ def test_pallas_roi_align_gradient_via_reference_bwd():
     gr = jax.grad(loss_r)(feats)
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_precomputed_interp_matches_in_kernel():
+    """PRECOMPUTED_INTERP streams XLA-built interp matrices into the kernel
+    instead of building them per-roi on the VPU — same f32 formula, but
+    batched shapes fuse differently, so equality is to float tolerance."""
+    from balancedgroupsoftmax_tpu.pallas import roi_align as ra
+
+    feats, rois, strides = make_case(seed=3)
+    ref = np.asarray(ra._forward(feats, rois, tuple(strides), 7, 2, 56, True))
+    ra.PRECOMPUTED_INTERP = True
+    try:
+        got = np.asarray(ra._forward(feats, rois, tuple(strides), 7, 2, 56, True))
+    finally:
+        ra.PRECOMPUTED_INTERP = False
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=5e-5)
+
+
+def test_scatter_backward_matches_scan_backward():
+    """BWD_SCATTER accumulates the same per-roi window gradients through
+    jax.lax.scatter_add instead of the sequential half-canvas scan; only
+    the addition ORDER differs (scatter collision order vs roi order)."""
+    from balancedgroupsoftmax_tpu.pallas import roi_align as ra
+
+    feats, rois, strides = make_case(seed=4, R=16, C=8)
+    g = jnp.asarray(
+        np.random.RandomState(5).randn(rois.shape[0], rois.shape[1], 7, 7, 8),
+        jnp.float32,
+    )
+    args = (tuple(strides), 7, 2, 56, False)
+    ref = ra._bwd(*args, (feats, rois), g)[0]
+    ra.BWD_SCATTER = True
+    try:
+        got = ra._bwd(*args, (feats, rois), g)[0]
+    finally:
+        ra.BWD_SCATTER = False
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
