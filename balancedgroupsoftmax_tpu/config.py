@@ -137,6 +137,10 @@ class BackboneConfig:
     # DCN v2 (modulated). The shipped top-line config is v1:
     # gs_htc_dconv_c3-c5_*.py dcn=dict(modulated=False, groups=64)
     dcn_modulated: bool = False
+    # deform-conv groups, independent of the ResNeXt groups — the reference
+    # reads them from the dcn dict (resnext.py: self.dcn.get('groups', 1)).
+    # None => follow `groups` (they coincide at 64 for the shipped X101).
+    dcn_groups: Optional[int] = None
     # rematerialize residual blocks (jax.checkpoint) — trades FLOPs for
     # activation memory, enabling larger train batches
     remat: bool = False

@@ -49,6 +49,10 @@ class FasterRCNN(nn.Module):
     class_weights: Optional[tuple] = None  # (C,) for loss_cls_type='reweight'
     dtype: jnp.dtype = jnp.float32
 
+    # class attribute (not a dataclass field): FastRCNN (precomputed
+    # proposals, models/variants.py) flips it to skip the RPN head
+    HAS_RPN = True
+
     def setup(self):
         c = self.cfg
         self.backbone = ResNet(
@@ -57,6 +61,7 @@ class FasterRCNN(nn.Module):
             base_width=c.backbone.base_width,
             dcn_stages=c.backbone.dcn_stages,
             dcn_modulated=c.backbone.dcn_modulated,
+            dcn_groups=c.backbone.dcn_groups or 0,
             remat=c.backbone.remat,
             dtype=self.dtype,
             name="backbone",
@@ -67,15 +72,27 @@ class FasterRCNN(nn.Module):
             dtype=self.dtype,
             name="neck",
         )
-        self.rpn_head = RPNHead(
-            feat_channels=c.fpn.out_channels,
-            num_anchors=c.anchors.num_base_anchors,
-            dtype=self.dtype,
-            name="rpn_head",
-        )
-        self.bbox_head = SharedFCBBoxHead(c.bbox_head, dtype=self.dtype, name="bbox_head")
+        if self.HAS_RPN:
+            self.rpn_head = RPNHead(
+                feat_channels=c.fpn.out_channels,
+                num_anchors=c.anchors.num_base_anchors,
+                dtype=self.dtype,
+                name="rpn_head",
+            )
+        self.bbox_head = self._make_bbox_head()
         if c.mask_head is not None:
             self.mask_head = FCNMaskHead(c.mask_head, dtype=self.dtype, name="mask_head")
+        self._setup_extra()
+
+    def _make_bbox_head(self):
+        """Overridable bbox-head factory (variants swap in e.g. the
+        double conv/fc head, models/variants.py)."""
+        return SharedFCBBoxHead(
+            self.cfg.bbox_head, dtype=self.dtype, name="bbox_head"
+        )
+
+    def _setup_extra(self):
+        """Hook for detector variants to register extra heads."""
 
     # --- building blocks -------------------------------------------------
     def extract_feats(self, images: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -126,39 +143,74 @@ class FasterRCNN(nn.Module):
         img_shapes: jnp.ndarray,  # (B, 2) float32 — content (h, w) pre-padding
         gt_mask_crops: Optional[jnp.ndarray] = None,  # (B, G, CROP, CROP)
     ) -> Dict[str, jnp.ndarray]:
+        losses, feats, targets = self._loss_core(
+            images, gt_boxes, gt_labels, gt_mask, img_shapes
+        )
+        if self.cfg.mask_head is not None and gt_mask_crops is not None:
+            self._mask_branch(feats, targets, gt_boxes, gt_mask_crops, losses)
+        return losses
+
+    def _bbox_forward(self, feats, rois):
+        """Pool rois over the FPN levels and run the bbox head — the one
+        place variants change how roi features feed classification and
+        regression (e.g. DoubleHeadRCNN's separately-scaled reg branch)."""
+        c = self.cfg
+        pooled = batched_multilevel_roi_align(
+            feats[: len(c.roi_extractor.featmap_strides)],
+            rois,
+            c.roi_extractor.featmap_strides,
+            c.roi_extractor.out_size,
+            c.roi_extractor.sample_num,
+            c.roi_extractor.finest_scale,
+        )
+        return self.bbox_head(pooled)
+
+    def _loss_core(
+        self, images, gt_boxes, gt_labels, gt_mask, img_shapes,
+        proposals=None,
+    ):
+        """RPN + bbox-head losses; returns (losses, feats, roi targets) so
+        variant subclasses can append their extra branches (grid, mask-iou)
+        without a second backbone pass. `proposals` (a Proposals namedtuple)
+        skips the RPN entirely — the FastRCNN precomputed-proposal path."""
         c = self.cfg
         b = images.shape[0]
         key = self.make_rng("sampling")
         k_rpn, k_roi = jax.random.split(key)
 
         feats = self.extract_feats(images)
-        rpn_outs = self.rpn_head(feats)
+        losses: Dict[str, jnp.ndarray] = {}
 
-        anchors = self._anchors(images)
-        anchors_flat = jnp.concatenate(anchors, axis=0)
-        anchor_valid = jnp.ones(anchors_flat.shape[0], dtype=bool)
+        if proposals is None:
+            rpn_outs = self.rpn_head(feats)
 
-        # RPN losses (batched over images inside rpn_loss)
-        loss_rpn_cls, loss_rpn_bbox = rpn_loss(
-            rpn_outs,
-            anchors_flat,
-            anchor_valid,
-            gt_boxes,
-            gt_mask,
-            (images.shape[1], images.shape[2]),
-            jax.random.split(k_rpn, b),
-            c.rpn_train,
-        )
+            anchors = self._anchors(images)
+            anchors_flat = jnp.concatenate(anchors, axis=0)
+            anchor_valid = jnp.ones(anchors_flat.shape[0], dtype=bool)
 
-        # proposals (no gradient through RPN outputs here, two_stage.py treats
-        # proposal generation as a detached op)
-        detached = [
-            (jax.lax.stop_gradient(cm), jax.lax.stop_gradient(rm))
-            for cm, rm in rpn_outs
-        ]
-        proposals = rpn_proposals_batched(
-            detached, anchors, img_shapes, c.rpn_proposal_train
-        )
+            # RPN losses (batched over images inside rpn_loss)
+            loss_rpn_cls, loss_rpn_bbox = rpn_loss(
+                rpn_outs,
+                anchors_flat,
+                anchor_valid,
+                gt_boxes,
+                gt_mask,
+                (images.shape[1], images.shape[2]),
+                jax.random.split(k_rpn, b),
+                c.rpn_train,
+            )
+            losses["loss_rpn_cls"] = loss_rpn_cls
+            losses["loss_rpn_bbox"] = loss_rpn_bbox
+
+            # proposals (no gradient through RPN outputs here, two_stage.py
+            # treats proposal generation as a detached op)
+            detached = [
+                (jax.lax.stop_gradient(cm), jax.lax.stop_gradient(rm))
+                for cm, rm in rpn_outs
+            ]
+            proposals = rpn_proposals_batched(
+                detached, anchors, img_shapes, c.rpn_proposal_train
+            )
 
         # RoI targets per image
         roi_keys = jax.random.split(k_roi, b)
@@ -183,24 +235,11 @@ class FasterRCNN(nn.Module):
             gt_mask,
         )
 
-        # RoIAlign over FPN levels, batched over images
-        pooled = batched_multilevel_roi_align(
-            feats[: len(c.roi_extractor.featmap_strides)],
-            targets.rois,
-            c.roi_extractor.featmap_strides,
-            c.roi_extractor.out_size,
-            c.roi_extractor.sample_num,
-            c.roi_extractor.finest_scale,
-        )
-
-        cls_logits, bbox_deltas = self.bbox_head(pooled)
+        # RoIAlign over FPN levels + bbox head, batched over images
+        cls_logits, bbox_deltas = self._bbox_forward(feats, targets.rois)
 
         s = c.rcnn_train.sampler.num
         flat = lambda x: x.reshape(b * s, *x.shape[2:])
-        losses: Dict[str, jnp.ndarray] = {
-            "loss_rpn_cls": loss_rpn_cls,
-            "loss_rpn_bbox": loss_rpn_bbox,
-        }
         if c.bbox_head.use_gs:
             gs_losses = gs_loss(
                 self.make_rng("sampling"),
@@ -246,55 +285,70 @@ class FasterRCNN(nn.Module):
             losses["loss_cls"] = loss_cls
             losses["loss_bbox"] = loss_bbox
             losses["acc"] = acc
+        return losses, feats, targets
 
-        # --- mask branch (Mask R-CNN, two_stage.py:238-262 parity) --------
-        if c.mask_head is not None and gt_mask_crops is not None:
-            # positives occupy the first S*pos_fraction slots by construction
-            # (core/sampler.py top-k ordering) — pool only that prefix.
-            mask_cap = max(int(s * c.rcnn_train.sampler.pos_fraction), 1)
-            m_rois = targets.rois[:, :mask_cap]
-            # mask branch pools at mask_size/2 (14 for 28x28 masks), the
-            # reference's separate mask_roi_extractor (mask_rcnn configs)
-            m_pooled = batched_multilevel_roi_align(
-                feats[: len(c.roi_extractor.featmap_strides)],
-                m_rois,
-                c.roi_extractor.featmap_strides,
-                c.mask_head.mask_size // 2,
-                c.roi_extractor.sample_num,
-                c.roi_extractor.finest_scale,
+    def _mask_branch(self, feats, targets, gt_boxes, gt_mask_crops, losses):
+        """Mask R-CNN branch (two_stage.py:238-262 parity). Adds loss_mask
+        to `losses` and returns the intermediates a variant may consume
+        (MaskScoringRCNN's mask-iou head needs the pooled feats, the
+        selected-class logits, the targets, and the positive mask)."""
+        c = self.cfg
+        b = targets.rois.shape[0]
+        s = c.rcnn_train.sampler.num
+        # positives occupy the first S*pos_fraction slots by construction
+        # (core/sampler.py top-k ordering) — pool only that prefix.
+        mask_cap = max(int(s * c.rcnn_train.sampler.pos_fraction), 1)
+        m_rois = targets.rois[:, :mask_cap]
+        # mask branch pools at mask_size/2 (14 for 28x28 masks), the
+        # reference's separate mask_roi_extractor (mask_rcnn configs)
+        m_pooled = batched_multilevel_roi_align(
+            feats[: len(c.roi_extractor.featmap_strides)],
+            m_rois,
+            c.roi_extractor.featmap_strides,
+            c.mask_head.mask_size // 2,
+            c.roi_extractor.sample_num,
+            c.roi_extractor.finest_scale,
+        )
+        m_labels = targets.labels[:, :mask_cap]
+        if c.mask_head.class_agnostic:
+            mask_logits = self.mask_head(m_pooled)  # (B, cap, 2S, 2S, 1)
+        else:
+            # selected-class logits (same gradients as the dense conv:
+            # unselected channels carry zero cotangent)
+            num_fg = c.mask_head.num_classes - 1
+            mask_logits = self.mask_head(
+                m_pooled, labels=jnp.clip(m_labels - 1, 0, num_fg - 1)
+            )  # (B, cap, 2S, 2S)
+        m_pos = (targets.labels[:, :mask_cap] > 0) & targets.roi_valid[:, :mask_cap]
+        m_targets = jax.vmap(
+            lambda rois, gb, gi, crops, pm: mask_target_single(
+                rois, gb, gi, crops, pm, c.mask_head.mask_size
             )
-            m_labels = targets.labels[:, :mask_cap]
-            if c.mask_head.class_agnostic:
-                mask_logits = self.mask_head(m_pooled)  # (B, cap, 2S, 2S, 1)
-            else:
-                # selected-class logits (same gradients as the dense conv:
-                # unselected channels carry zero cotangent)
-                num_fg = c.mask_head.num_classes - 1
-                mask_logits = self.mask_head(
-                    m_pooled, labels=jnp.clip(m_labels - 1, 0, num_fg - 1)
-                )  # (B, cap, 2S, 2S)
-            m_pos = (targets.labels[:, :mask_cap] > 0) & targets.roi_valid[:, :mask_cap]
-            m_targets = jax.vmap(
-                lambda rois, gb, gi, crops, pm: mask_target_single(
-                    rois, gb, gi, crops, pm, c.mask_head.mask_size
-                )
-            )(
-                m_rois,
-                gt_boxes,
-                targets.pos_gt_inds[:, :mask_cap],
-                gt_mask_crops,
-                m_pos,
-            )
-            flat_m = lambda x: x.reshape(b * mask_cap, *x.shape[2:])
-            losses["loss_mask"] = mask_head_loss(
-                flat_m(mask_logits),
-                flat_m(jax.lax.stop_gradient(m_targets)),
-                flat_m(targets.labels[:, :mask_cap]),
-                flat_m(m_pos),
-                class_agnostic=c.mask_head.class_agnostic,
-                preselected=not c.mask_head.class_agnostic,
-            )
-        return losses
+        )(
+            m_rois,
+            gt_boxes,
+            targets.pos_gt_inds[:, :mask_cap],
+            gt_mask_crops,
+            m_pos,
+        )
+        flat_m = lambda x: x.reshape(b * mask_cap, *x.shape[2:])
+        losses["loss_mask"] = mask_head_loss(
+            flat_m(mask_logits),
+            flat_m(jax.lax.stop_gradient(m_targets)),
+            flat_m(targets.labels[:, :mask_cap]),
+            flat_m(m_pos),
+            class_agnostic=c.mask_head.class_agnostic,
+            preselected=not c.mask_head.class_agnostic,
+        )
+        return dict(
+            m_rois=m_rois,
+            m_pooled=m_pooled,
+            mask_logits=mask_logits,
+            m_targets=m_targets,
+            m_labels=m_labels,
+            m_pos=m_pos,
+            mask_cap=mask_cap,
+        )
 
     # --- inference -------------------------------------------------------
     def predict(
@@ -311,26 +365,19 @@ class FasterRCNN(nn.Module):
         )
 
     def _predict_feats(
-        self, feats, images, img_shapes, scale_factors, rescale=True
+        self, feats, images, img_shapes, scale_factors, rescale=True,
+        proposals=None,
     ) -> Detections:
         c = self.cfg
-        rpn_outs = self.rpn_head(feats)
-        anchors = self._anchors(images)
+        if proposals is None:
+            rpn_outs = self.rpn_head(feats)
+            anchors = self._anchors(images)
 
-        proposals = rpn_proposals_batched(
-            rpn_outs, anchors, img_shapes, c.rpn_proposal_test
-        )
+            proposals = rpn_proposals_batched(
+                rpn_outs, anchors, img_shapes, c.rpn_proposal_test
+            )
 
-        pooled = batched_multilevel_roi_align(
-            feats[: len(c.roi_extractor.featmap_strides)],
-            proposals.boxes,
-            c.roi_extractor.featmap_strides,
-            c.roi_extractor.out_size,
-            c.roi_extractor.sample_num,
-            c.roi_extractor.finest_scale,
-        )
-
-        cls_logits, bbox_deltas = self.bbox_head(pooled)
+        cls_logits, bbox_deltas = self._bbox_forward(feats, proposals.boxes)
 
         if c.bbox_head.use_gs:
             scores = jax.vmap(lambda lg: gs_merge_scores(lg, self.partition))(
@@ -397,15 +444,7 @@ class FasterRCNN(nn.Module):
         """
         c = self.cfg
         feats = self.extract_feats(images)
-        pooled = batched_multilevel_roi_align(
-            feats[: len(c.roi_extractor.featmap_strides)],
-            rois,
-            c.roi_extractor.featmap_strides,
-            c.roi_extractor.out_size,
-            c.roi_extractor.sample_num,
-            c.roi_extractor.finest_scale,
-        )
-        cls_logits, bbox_deltas = self.bbox_head(pooled)
+        cls_logits, bbox_deltas = self._bbox_forward(feats, rois)
         if c.bbox_head.use_gs:
             scores = jax.vmap(lambda lg: gs_merge_scores(lg, self.partition))(
                 cls_logits

@@ -54,6 +54,7 @@ class HTC(nn.Module):
             base_width=c.backbone.base_width,
             dcn_stages=c.backbone.dcn_stages,
             dcn_modulated=c.backbone.dcn_modulated,
+            dcn_groups=c.backbone.dcn_groups or 0,
             remat=c.backbone.remat,
             dtype=self.dtype,
             name="backbone",

@@ -59,6 +59,9 @@ class Bottleneck(nn.Module):
     use_dcn: bool = False  # deformable conv2 (HTC-DCN: dconv c3-c5)
     # shipped DCN configs are v1 (gs_htc_dconv_*: dcn=dict(modulated=False))
     dcn_modulated: bool = False
+    # deform-conv groups (reference reads dcn.get('groups', 1) — resnext.py);
+    # 0 => follow `groups` (the shipped X101 config has both at 64)
+    dcn_groups: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -86,7 +89,7 @@ class Bottleneck(nn.Module):
                 stride=self.stride,
                 padding=1,
                 modulated=self.dcn_modulated,
-                groups=self.groups,
+                groups=self.dcn_groups or self.groups,
                 dtype=self.dtype,
                 name="conv2",
             )(y)
@@ -126,6 +129,7 @@ class ResNet(nn.Module):
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     dcn_stages: Tuple[bool, ...] = (False, False, False, False)
     dcn_modulated: bool = False
+    dcn_groups: int = 0  # 0 => follow `groups`
     remat: bool = False  # rematerialize blocks (activation checkpointing)
     dtype: jnp.dtype = jnp.float32
 
@@ -158,6 +162,7 @@ class ResNet(nn.Module):
                     base_width=self.base_width,
                     use_dcn=self.dcn_stages[stage],
                     dcn_modulated=self.dcn_modulated,
+                    dcn_groups=self.dcn_groups,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{b}",
                 )(x)

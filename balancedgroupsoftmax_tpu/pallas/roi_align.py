@@ -37,17 +37,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.roi_align import map_roi_levels
 
-# Build the per-roi (os, WIN) interpolation matrices batched in XLA and
-# stream them into the kernel as pipelined VMEM inputs, instead of per-roi
-# VPU construction on the Mosaic side (an experiment against the kernel's
-# measured per-roi fixed-latency floor; ~3 KB/roi extra HBM traffic).
+# Module-level DEFAULTS for the kernel variants below. These are read only
+# when the corresponding explicit argument is None; pass the argument to
+# force a retrace (they are static/nondiff args, so a changed value is a
+# new jit cache key — toggling a global after tracing silently does
+# nothing, the round-4 advisor foot-gun).
+#
+# PRECOMPUTED_INTERP: build the per-roi (os, WIN) interpolation matrices
+# batched in XLA and stream them into the kernel as pipelined VMEM inputs,
+# instead of per-roi VPU construction on the Mosaic side (an experiment
+# against the kernel's measured per-roi fixed-latency floor; ~3 KB/roi
+# extra HBM traffic).
 PRECOMPUTED_INTERP = False
 
-# Backward strategy: False = per-roi half-canvas lax.scan (sequential
-# read-modify-write, collision-free by construction); True = chunked
-# jax.lax.scatter_add of batched window gradients (two big MXU einsums per
-# chunk + window-granular scatter; collisions are scatter-add semantics).
-BWD_SCATTER = False
+# Backward strategy (BWD_MODE):
+#   "dense"   — per-level batched matmuls in GLOBAL level coordinates:
+#               dL_l = sum_r wy_r^T g_r wx_r with (os, H_l)/(os, W_l)
+#               interp matrices, two dot_generals per image under a scan
+#               over images. No scatter, no windows, no orientation logic;
+#               pure MXU. Rois not on level l contribute exact zeros
+#               (their wy rows are masked).
+#   "scan"    — per-roi half-canvas lax.scan (sequential read-modify-
+#               write, collision-free by construction).
+#   "scatter" — chunked jax.lax.scatter_add of batched window gradients
+#               (two big MXU einsums per chunk + window-granular scatter).
+BWD_MODE = "scan"
 BWD_SCATTER_CHUNK = 256
 
 WIN_H = 32  # short-axis window cells
@@ -313,7 +327,10 @@ def _forward(
     sample_num: int,
     finest_scale: int,
     interpret: bool = False,
+    precomputed_interp: bool | None = None,
 ) -> jnp.ndarray:
+    if precomputed_interp is None:
+        precomputed_interp = PRECOMPUTED_INTERP
     b, r = rois.shape[:2]
     c = feats[0].shape[-1]
     num_levels = len(feats)
@@ -419,7 +436,7 @@ def _forward(
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     extra_inputs = []
-    if PRECOMPUTED_INTERP:
+    if precomputed_interp:
         wy_all = _interp_matrices(
             o_start_h, o_bin_h, o_h, y0.astype(jnp.float32), WIN_H,
             out_size, sample_num,
@@ -455,7 +472,7 @@ def _forward(
             _kernel, out_size=out_size, sample_num=sample_num, rb=rb,
             row_off=tuple(int(v) for v in row_off),
             sec_h=sec_h, sec_w=sec_w,
-            precomputed_interp=PRECOMPUTED_INTERP,
+            precomputed_interp=precomputed_interp,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
@@ -478,7 +495,7 @@ def _forward(
     return samples.reshape(b, r, out_size, out_size, c).astype(feats[0].dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def multilevel_roi_align_pallas(
     feats,  # tuple of (B, H_l, W_l, C)
     rois,  # (B, R, 4)
@@ -487,12 +504,23 @@ def multilevel_roi_align_pallas(
     sample_num: int = 2,
     finest_scale: int = 56,
     interpret: bool = False,
+    bwd_mode: str | None = None,  # None -> module default BWD_MODE
+    precomputed_interp: bool | None = None,  # None -> PRECOMPUTED_INTERP
 ):
-    return _forward(feats, rois, strides, out_size, sample_num, finest_scale, interpret)
+    return _forward(
+        feats, rois, strides, out_size, sample_num, finest_scale, interpret,
+        precomputed_interp,
+    )
 
 
-def _fwd(feats, rois, strides, out_size, sample_num, finest_scale, interpret):
-    out = _forward(feats, rois, strides, out_size, sample_num, finest_scale, interpret)
+def _fwd(
+    feats, rois, strides, out_size, sample_num, finest_scale, interpret,
+    bwd_mode, precomputed_interp,
+):
+    out = _forward(
+        feats, rois, strides, out_size, sample_num, finest_scale, interpret,
+        precomputed_interp,
+    )
     return out, (feats, rois)
 
 
@@ -526,7 +554,120 @@ def _interp_matrices(start, bin_sz, size_l, origin, win, out_size, sample_num):
     return m_sum / sample_num
 
 
-def _bwd(strides, out_size, sample_num, finest_scale, interpret, res, g):
+def _bwd_dense(strides, out_size, sample_num, finest_scale, res, g):
+    """Dense per-level matmul RoIAlign backward — zero scatters, pure MXU.
+
+    The transpose of the separable-interpolation forward, taken in GLOBAL
+    level coordinates instead of per-roi windows:
+
+        dL_l[b, y, x, c] = sum_{r in image b, i, j}
+            wy[r, i, y] * wx[r, j, x] * g[r, i, j, c]
+
+    where wy/wx are the (os, H_l)/(os, W_l) interpolation matrices from
+    _interp_matrices with origin=0 and win=the full level extent — i.e.
+    the CUDA backward's exact weights (roi_align_kernel.cu
+    ROIAlignBackward), just deposited by matrix multiplication instead of
+    atomicAdd. Per level it is two batched dot_generals per image inside
+    a lax.scan over images (vmap would materialize the (R*os, W_l*C)
+    intermediate for every image at once):
+
+        P[r, i, x, c]  = sum_j wx[r, j, x] g[r, i, j, c]      (tiny: os^2)
+        dL_l[y, x, c]  = sum_{(r,i)} wy[r, i, y] P[r, i, x, c]
+
+    Rois routed to other levels contribute exact zeros (their wy rows are
+    masked), so every level's einsum runs over the full static roi count —
+    wasted MXU lanes instead of dynamic shapes. No orientation/window/
+    clamping logic exists on this path at all; summation order differs
+    from the scan, so equality is to float tolerance.
+
+    Precision mirrors the forward kernel: f32 pyramids get
+    Precision.HIGHEST (no silent one-pass-bf16 lowering of the f32
+    matmuls); bf16 pyramids (the production train path) run the MXU at
+    full bf16 rate with f32 accumulation — the result is cast to the
+    feats dtype either way, exactly like the scan path.
+    """
+    feats, rois = res
+    b, r = rois.shape[:2]
+    n = b * r
+    c = feats[0].shape[-1]
+    num_levels = len(feats)
+    fdt = feats[0].dtype
+    prec = jax.lax.Precision.HIGHEST if fdt == jnp.float32 else None
+    # bf16 pyramids: run the MXU in bf16 (f32 accumulate). The CPU backend
+    # has no bf16xbf16=f32 dot — there, round through bf16 (emulating the
+    # TPU operand precision) but upcast the dot operands to f32.
+    if fdt == jnp.float32:
+        mmdt = jnp.float32
+        cast = lambda x: x.astype(jnp.float32)
+    elif jax.default_backend() == "tpu":
+        mmdt = jnp.bfloat16
+        cast = lambda x: x.astype(jnp.bfloat16)
+    else:
+        mmdt = jnp.float32
+        cast = lambda x: x.astype(jnp.bfloat16).astype(jnp.float32)
+
+    flat_rois = rois.reshape(n, 4).astype(jnp.float32)
+    lvls = map_roi_levels(flat_rois, num_levels, finest_scale)
+    g = cast(g).reshape(b, r, out_size, out_size, c)
+
+    dfeats = []
+    for l, f in enumerate(feats):
+        h_l, w_l = int(f.shape[1]), int(f.shape[2])
+        scale = 1.0 / float(strides[l])
+        start_w = flat_rois[:, 0] * scale
+        start_h = flat_rois[:, 1] * scale
+        bin_w = jnp.maximum((flat_rois[:, 2] + 1.0) * scale - start_w, 0.0) / out_size
+        bin_h = jnp.maximum((flat_rois[:, 3] + 1.0) * scale - start_h, 0.0) / out_size
+        zero = jnp.zeros_like(start_h)
+        mask = (lvls == l).astype(jnp.float32)[:, None, None]
+        wy = _interp_matrices(
+            start_h, bin_h, zero + h_l, zero, h_l, out_size, sample_num
+        ) * mask  # (N, os, H_l)
+        wx = _interp_matrices(
+            start_w, bin_w, zero + w_l, zero, w_l, out_size, sample_num
+        ) * mask
+        wy = cast(wy.reshape(b, r, out_size, h_l))
+        wx = cast(wx.reshape(b, r, out_size, w_l))
+
+        def img_body(_, per, h_l=h_l, w_l=w_l):
+            wy_b, wx_b, g_b = per  # (r, os, H) (r, os, W) (r, os, os, c)
+            # P[r, i, x, c] = sum_j wx_b[r, j, x] g_b[r, i, j, c]
+            p = jax.lax.dot_general(
+                wx_b, g_b,
+                (((1,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )  # (r, x, i, c)
+            # dL[y, (x c)] = sum_{(r i)} wy[(r i), y] P[(r i), (x c)]
+            d = jax.lax.dot_general(
+                wy_b.reshape(r * out_size, h_l),
+                cast(jnp.transpose(p, (0, 2, 1, 3))).reshape(
+                    r * out_size, w_l * c
+                ),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            return None, d.reshape(h_l, w_l, c)
+
+        _, dl = jax.lax.scan(img_body, None, (wy, wx, g))
+        dfeats.append(dl.astype(fdt))
+    return tuple(dfeats), None
+
+
+def _bwd(
+    strides, out_size, sample_num, finest_scale, interpret, bwd_mode,
+    precomputed_interp, res, g,
+):
+    mode = bwd_mode if bwd_mode is not None else BWD_MODE
+    if mode == "dense":
+        return _bwd_dense(strides, out_size, sample_num, finest_scale, res, g)
+    return _bwd_windowed(
+        strides, out_size, sample_num, finest_scale, mode, res, g
+    )
+
+
+def _bwd_windowed(strides, out_size, sample_num, finest_scale, mode, res, g):
     """Scatter-free RoIAlign backward: windowed read-modify-write scan.
 
     The gather forward's autodiff transpose is an XLA scatter-add with
@@ -623,11 +764,22 @@ def _bwd(strides, out_size, sample_num, finest_scale, interpret, res, g):
     rows0 = off_r + jnp.where(portrait, x0, y0)
     cols0 = jnp.where(portrait, y0, x0)
 
-    if BWD_SCATTER:
+    if mode == "scatter":
         n = b * r
         chunk = BWD_SCATTER_CHUNK
-        while n % chunk:
-            chunk //= 2
+        # pad the roi axis up to a chunk multiple (zero-gradient rois are
+        # no-ops under scatter_add) instead of shrinking the chunk — an odd
+        # roi count used to degrade to chunk=1, a per-roi scatter scan that
+        # defeats the batching this path exists to measure
+        n_pad = (-n) % chunk
+        if n_pad:
+            padv = lambda a: jnp.concatenate(
+                [a, jnp.zeros((n_pad,) + a.shape[1:], a.dtype)]
+            )
+            g, wy, wx = padv(g), padv(wy), padv(wx)
+            img_idx, rows0 = padv(img_idx), padv(rows0)
+            cols0, portrait = padv(cols0), padv(portrait)
+            n += n_pad
         hw = WIN_W_LO
         dims = jax.lax.ScatterDimensionNumbers(
             update_window_dims=(1, 2, 3),

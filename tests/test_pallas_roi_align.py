@@ -87,40 +87,98 @@ def test_pallas_roi_align_gradient_via_reference_bwd():
 
 
 def test_precomputed_interp_matches_in_kernel():
-    """PRECOMPUTED_INTERP streams XLA-built interp matrices into the kernel
+    """precomputed_interp streams XLA-built interp matrices into the kernel
     instead of building them per-roi on the VPU — same f32 formula, but
     batched shapes fuse differently, so equality is to float tolerance."""
     from balancedgroupsoftmax_tpu.pallas import roi_align as ra
 
     feats, rois, strides = make_case(seed=3)
-    ref = np.asarray(ra._forward(feats, rois, tuple(strides), 7, 2, 56, True))
-    ra.PRECOMPUTED_INTERP = True
-    try:
-        got = np.asarray(ra._forward(feats, rois, tuple(strides), 7, 2, 56, True))
-    finally:
-        ra.PRECOMPUTED_INTERP = False
+    ref = np.asarray(
+        ra._forward(feats, rois, tuple(strides), 7, 2, 56, True, False)
+    )
+    got = np.asarray(
+        ra._forward(feats, rois, tuple(strides), 7, 2, 56, True, True)
+    )
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=5e-5)
 
 
-def test_scatter_backward_matches_scan_backward():
-    """BWD_SCATTER accumulates the same per-roi window gradients through
-    jax.lax.scatter_add instead of the sequential half-canvas scan; only
-    the addition ORDER differs (scatter collision order vs roi order)."""
-    from balancedgroupsoftmax_tpu.pallas import roi_align as ra
-
-    feats, rois, strides = make_case(seed=4, R=16, C=8)
+def _bwd_case(seed=4, R=16, C=8, out_size=7):
+    feats, rois, strides = make_case(seed=seed, R=R, C=C)
     g = jnp.asarray(
-        np.random.RandomState(5).randn(rois.shape[0], rois.shape[1], 7, 7, 8),
+        np.random.RandomState(seed + 1).randn(
+            rois.shape[0], rois.shape[1], out_size, out_size, C
+        ),
         jnp.float32,
     )
-    args = (tuple(strides), 7, 2, 56, False)
-    ref = ra._bwd(*args, (feats, rois), g)[0]
-    ra.BWD_SCATTER = True
-    try:
-        got = ra._bwd(*args, (feats, rois), g)[0]
-    finally:
-        ra.BWD_SCATTER = False
+    return feats, rois, tuple(strides), g
+
+
+def test_scatter_backward_matches_scan_backward():
+    """bwd_mode="scatter" accumulates the same per-roi window gradients
+    through jax.lax.scatter_add instead of the sequential half-canvas scan;
+    only the addition ORDER differs (scatter collision order vs roi
+    order)."""
+    from balancedgroupsoftmax_tpu.pallas import roi_align as ra
+
+    feats, rois, strides, g = _bwd_case()
+    ref = ra._bwd(strides, 7, 2, 56, False, "scan", None, (feats, rois), g)[0]
+    got = ra._bwd(strides, 7, 2, 56, False, "scatter", None, (feats, rois), g)[0]
     for a, b in zip(got, ref):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
         )
+
+
+def test_scatter_backward_pads_odd_roi_counts():
+    """An odd roi count must pad up to the chunk, not degrade to chunk=1
+    (zero-gradient pad rois are scatter_add no-ops)."""
+    from balancedgroupsoftmax_tpu.pallas import roi_align as ra
+
+    feats, rois, strides, g = _bwd_case(seed=6, R=13)  # 2*13=26 rois
+    ref = ra._bwd(strides, 7, 2, 56, False, "scan", None, (feats, rois), g)[0]
+    got = ra._bwd(strides, 7, 2, 56, False, "scatter", None, (feats, rois), g)[0]
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_dense_backward_matches_scan_backward():
+    """bwd_mode="dense" deposits each roi's gradient via global-coordinate
+    interp matmuls (dL = sum_r wy_r^T g_r wx_r) instead of windowed
+    read-modify-write — same CUDA weights/boundary rules, different
+    summation order, so equality is to float tolerance. Covers both head
+    (7) and mask (14) output sizes."""
+    from balancedgroupsoftmax_tpu.pallas import roi_align as ra
+
+    for out_size in (7, 14):
+        feats, rois, strides, g = _bwd_case(seed=7, R=16, out_size=out_size)
+        ref = ra._bwd(
+            strides, out_size, 2, 56, False, "scan", None, (feats, rois), g
+        )[0]
+        got = ra._bwd(
+            strides, out_size, 2, 56, False, "dense", None, (feats, rois), g
+        )[0]
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            )
+
+
+def test_dense_backward_bf16_pyramid():
+    """The production train path feeds bf16 pyramids; the dense backward
+    must produce finite bf16 gradients close to the f32 scan result."""
+    from balancedgroupsoftmax_tpu.pallas import roi_align as ra
+
+    feats, rois, strides, g = _bwd_case(seed=8, R=12)
+    ref = ra._bwd(strides, 7, 2, 56, False, "scan", None, (feats, rois), g)[0]
+    bf = tuple(f.astype(jnp.bfloat16) for f in feats)
+    got = ra._bwd(
+        strides, 7, 2, 56, False, "dense", None, (bf, rois), g
+    )[0]
+    for a, b in zip(got, ref):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.isfinite(a).all()
+        scale = np.abs(b).max() + 1e-6
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-2)

@@ -113,7 +113,10 @@ def main():
         import dataclasses as _dc
         if args.selectp is not None:
             train_cfg = _dc.replace(train_cfg, selectp=args.selectp)
-        tx = make_optimizer(train_cfg, variables["params"])
+        tx = make_optimizer(
+            train_cfg, variables["params"],
+            frozen_stages=det_cfg.backbone.frozen_stages,
+        )
         mask = trainable_mask(
             variables["params"], train_cfg.selectp,
             det_cfg.backbone.frozen_stages,

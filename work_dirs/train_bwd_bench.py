@@ -59,11 +59,12 @@ def main():
 
     from balancedgroupsoftmax_tpu import enable_compilation_cache, zoo
 
-    if os.environ.get("BWD_SCATTER"):
+    if os.environ.get("BWD_MODE"):
         from balancedgroupsoftmax_tpu.pallas import roi_align as _ra
 
-        _ra.BWD_SCATTER = True
-        print("roi-align backward: chunked scatter-add variant")
+        # set BEFORE any trace: model call sites use the module default
+        _ra.BWD_MODE = os.environ["BWD_MODE"]
+        print(f"roi-align backward: {_ra.BWD_MODE} variant")
     from balancedgroupsoftmax_tpu.gs.partition import synthetic_partition
     from balancedgroupsoftmax_tpu.models.detector import build_model
 
