@@ -194,6 +194,22 @@ class HTCConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class VariantConfig:
+    """Detector-assembly variant (mmdet/models/detectors/{fast_rcnn,
+    grid_rcnn,mask_scoring_rcnn,double_head_rcnn}.py). The shared
+    two-stage machinery stays in models/detector.py; `kind` selects the
+    wiring in models/variants.py."""
+
+    kind: str  # 'fast' | 'grid' | 'mask_scoring' | 'double_head'
+    # DoubleHeadRCNN: the reg branch pools rois inflated by this factor
+    # (double_head_rcnn.py reg_roi_scale_factor; shipped configs use 1.3)
+    reg_roi_scale_factor: float = 1.3
+    # GridRCNN (grid_rcnn.py): heatmap resolution + positive-jitter amount
+    grid_heatmap_size: int = 56
+    grid_jitter: float = 0.15
+
+
+@dataclasses.dataclass(frozen=True)
 class DetectorConfig:
     """Full two-stage detector configuration."""
 
@@ -205,6 +221,7 @@ class DetectorConfig:
     mask_head: Optional[MaskHeadConfig] = None
     cascade: Optional[CascadeConfig] = None
     htc: Optional[HTCConfig] = None
+    variant: Optional[VariantConfig] = None
     rpn_train: RPNTrainConfig = RPNTrainConfig()
     rpn_proposal_train: ProposalConfig = ProposalConfig(
         nms_pre=2000, nms_post=2000, max_num=2000

@@ -102,6 +102,12 @@ class LvisEvaluator:
         # --- LVISResults: cap at max_dets per image by score ---------------
         by_img: Dict[int, List[dict]] = defaultdict(list)
         for d in detections:
+            if iou_type == "segm" and "segm_score" in d:
+                # Mask-Scoring R-CNN: segm records score as det_score x
+                # predicted mask IoU (mmdet segm2json writes the mask
+                # score into the segm json; our single records list keeps
+                # it under a separate key so bbox eval is unaffected)
+                d = dict(d, score=d["segm_score"])
             by_img[d["image_id"]].append(d)
         self.dts_by_img_cat: Dict[tuple, List[dict]] = defaultdict(list)
         next_id = 1

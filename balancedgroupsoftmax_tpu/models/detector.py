@@ -553,4 +553,8 @@ def build_model(cfg: DetectorConfig, partition=None, dtype=jnp.float32):
         from .cascade import build_cascade
 
         return build_cascade(cfg, partition=partition, dtype=dtype)
+    if cfg.variant is not None:
+        from .variants import build_variant
+
+        return build_variant(cfg, partition=partition, dtype=dtype)
     return build_detector(cfg, partition=partition, dtype=dtype)

@@ -58,12 +58,18 @@ class DoubleConvFCBBoxHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, roi_feats: jnp.ndarray):
-        """roi_feats (..., S, S, C) -> (cls_logits, bbox_deltas)."""
-        c_in = roi_feats.shape[-1]
+    def __call__(self, roi_feats: jnp.ndarray, reg_feats: jnp.ndarray = None):
+        """roi_feats (..., S, S, C) -> (cls_logits, bbox_deltas).
+
+        `reg_feats` feeds the conv/regression branch when given — the
+        DoubleHeadRCNN assembly pools it from rois inflated by
+        reg_roi_scale_factor (double_head_rcnn.py forward_train) while the
+        fc/classification branch keeps the unscaled pooling."""
+        if reg_feats is None:
+            reg_feats = roi_feats
         # conv branch -> regression
         x = nn.Conv(self.conv_out_channels, (1, 1), dtype=self.dtype, name="res_in")(
-            roi_feats
+            reg_feats
         )
         for i in range(self.num_convs):
             res = x

@@ -25,8 +25,17 @@ import jax.numpy as jnp
 
 
 def _bilinear_hw(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
-    """img (H, W, C); ys/xs (...,) -> (..., C); zero outside bounds."""
+    """img (H, W, C); ys/xs (...,) -> (..., C); zero outside bounds.
+
+    The blend stays in the IMAGE dtype: a bf16 backbone (the production
+    path) must not silently promote the four gathered corner tensors to
+    f32 — that quadruples^W doubles the (H, W, taps, C) im2col HBM
+    traffic of every DCN layer (the dominant cost of gs_htc_dcn_x101,
+    BENCHMARKS round 4) for precision the surrounding bf16 convs don't
+    have anyway. Index math and bilinear fractions stay f32.
+    """
     h, w = img.shape[0], img.shape[1]
+    dt = img.dtype
     valid = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
@@ -41,17 +50,19 @@ def _bilinear_hw(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndar
     v01 = (y0 >= 0) & (x0 + 1 <= w - 1)
     v10 = (y0 + 1 <= h - 1) & (x0 >= 0)
     v11 = (y0 + 1 <= h - 1) & (x0 + 1 <= w - 1)
-    g00 = jnp.where(v00[..., None], img[y0i, x0i], 0.0)
-    g01 = jnp.where(v01[..., None], img[y0i, x1i], 0.0)
-    g10 = jnp.where(v10[..., None], img[y1i, x0i], 0.0)
-    g11 = jnp.where(v11[..., None], img[y1i, x1i], 0.0)
+    zero = jnp.zeros((), dt)
+    g00 = jnp.where(v00[..., None], img[y0i, x0i], zero)
+    g01 = jnp.where(v01[..., None], img[y0i, x1i], zero)
+    g10 = jnp.where(v10[..., None], img[y1i, x0i], zero)
+    g11 = jnp.where(v11[..., None], img[y1i, x1i], zero)
+    wc = lambda a: a.astype(dt)[..., None]
     out = (
-        g00 * ((1 - ly) * (1 - lx))[..., None]
-        + g01 * ((1 - ly) * lx)[..., None]
-        + g10 * (ly * (1 - lx))[..., None]
-        + g11 * (ly * lx)[..., None]
+        g00 * wc((1 - ly) * (1 - lx))
+        + g01 * wc((1 - ly) * lx)
+        + g10 * wc(ly * (1 - lx))
+        + g11 * wc(ly * lx)
     )
-    return jnp.where(valid[..., None], out, 0.0)
+    return jnp.where(valid[..., None], out, zero)
 
 
 def deform_conv2d(

@@ -19,6 +19,7 @@ from .config import (
     HTCConfig,
     MaskHeadConfig,
     TrainConfig,
+    VariantConfig,
 )
 
 
@@ -180,3 +181,66 @@ def faster_rcnn_r50_fpn_reweight_lvis(
         ),
     )
     return det, TrainConfig(selectp=1 if cls_only else 0)
+
+
+# --- detector-assembly variants (models/variants.py) ---------------------
+# Carried mmdet detectors the reference ships but no LVIS config uses
+# (mmdet/models/detectors/__init__.py); defaults follow their COCO-style
+# configs (81 classes) with num_classes overridable for LVIS transfer.
+
+
+def fast_rcnn_r50_fpn(
+    num_classes: int = 81, image_size: Tuple[int, int] = (800, 1344)
+) -> Tuple[DetectorConfig, TrainConfig]:
+    """mmdet fast_rcnn_r50_fpn: proposal-input detector (no RPN),
+    detectors/fast_rcnn.py."""
+    det = DetectorConfig(
+        bbox_head=BBoxHeadConfig(num_classes=num_classes),
+        variant=VariantConfig(kind="fast"),
+        image_size=image_size,
+    )
+    return det, TrainConfig()
+
+
+def grid_rcnn_r50_fpn(
+    num_classes: int = 81, image_size: Tuple[int, int] = (800, 1344)
+) -> Tuple[DetectorConfig, TrainConfig]:
+    """mmdet grid_rcnn_gn_head_r50_fpn: grid-point localization,
+    detectors/grid_rcnn.py."""
+    det = DetectorConfig(
+        bbox_head=BBoxHeadConfig(num_classes=num_classes),
+        variant=VariantConfig(kind="grid"),
+        image_size=image_size,
+    )
+    return det, TrainConfig()
+
+
+def mask_scoring_rcnn_r50_fpn(
+    num_classes: int = 81, image_size: Tuple[int, int] = (800, 1344)
+) -> Tuple[DetectorConfig, TrainConfig]:
+    """mmdet ms_rcnn_r50_fpn: Mask R-CNN + MaskIoU rescoring,
+    detectors/mask_scoring_rcnn.py."""
+    det = DetectorConfig(
+        bbox_head=BBoxHeadConfig(num_classes=num_classes),
+        mask_head=MaskHeadConfig(num_classes=num_classes),
+        variant=VariantConfig(kind="mask_scoring"),
+        image_size=image_size,
+    )
+    return det, TrainConfig()
+
+
+def double_head_rcnn_r50_fpn(
+    num_classes: int = 81,
+    reg_roi_scale_factor: float = 1.3,
+    image_size: Tuple[int, int] = (800, 1344),
+) -> Tuple[DetectorConfig, TrainConfig]:
+    """mmdet dh_faster_rcnn_r50_fpn: double conv/fc bbox head with an
+    inflated-roi regression branch, detectors/double_head_rcnn.py."""
+    det = DetectorConfig(
+        bbox_head=BBoxHeadConfig(num_classes=num_classes),
+        variant=VariantConfig(
+            kind="double_head", reg_roi_scale_factor=reg_roi_scale_factor
+        ),
+        image_size=image_size,
+    )
+    return det, TrainConfig()

@@ -68,31 +68,40 @@ def main():
         dets = forward(variables, images, img_shapes, scale_factors)
         jax.device_get(dets)
 
-    # depth-2 pipeline: dispatch step i+1 before fetching step i, as a
-    # serving loop would — overlaps the host<->device transfer latency
-    # (which on the axon tunnel is a fixed ~33ms per round trip) with the
-    # next step's device compute. Every step's detections are still
-    # fetched to host.
-    t0 = time.perf_counter()
-    pending = forward(variables, images, img_shapes, scale_factors)
-    for _ in range(ITERS - 1):
-        nxt = forward(variables, images, img_shapes, scale_factors)
+    def measure(iters):
+        # depth-2 pipeline: dispatch step i+1 before fetching step i, as a
+        # serving loop would — overlaps the host<->device transfer latency
+        # (which on the axon tunnel is a fixed ~33ms per round trip) with
+        # the next step's device compute. Every step's detections are
+        # still fetched to host.
+        t0 = time.perf_counter()
+        pending = forward(variables, images, img_shapes, scale_factors)
+        for _ in range(iters - 1):
+            nxt = forward(variables, images, img_shapes, scale_factors)
+            jax.device_get(pending)
+            pending = nxt
         jax.device_get(pending)
-        pending = nxt
-    jax.device_get(pending)
-    dt = time.perf_counter() - t0
+        return BATCH * iters / (time.perf_counter() - t0)
 
-    imgs_per_sec = BATCH * ITERS / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"images/sec/chip (BAGS Faster R-CNN R50-FPN, 1231-class GS head, 800x1344, bf16, batch {BATCH}, single-chip inference incl. detection fetch)",
-                "value": round(imgs_per_sec, 3),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMG_PER_SEC, 3),
-            }
+    def emit(imgs_per_sec, tag=""):
+        print(
+            json.dumps(
+                {
+                    "metric": f"images/sec/chip (BAGS Faster R-CNN R50-FPN, 1231-class GS head, 800x1344, bf16, batch {BATCH}, single-chip inference incl. detection fetch{tag})",
+                    "value": round(imgs_per_sec, 3),
+                    "unit": "images/sec/chip",
+                    "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMG_PER_SEC, 3),
+                }
+            ),
+            flush=True,
         )
-    )
+
+    # coarse early reading FIRST: a driver timeout mid-way through the
+    # full measurement still leaves one parsable JSON line (round-4
+    # BENCH_r04.json was empty after an rc-124 cold-compile timeout). The
+    # refined 10-iteration line prints last and supersedes it.
+    emit(measure(3), tag="; coarse 3-iter reading")
+    emit(measure(ITERS))
 
 
 if __name__ == "__main__":

@@ -32,7 +32,9 @@ def parse_args():
                             "gs_mask_rcnn_r50", "cascade_rcnn_r50",
                             "gs_cascade_rcnn_r50", "cascade_rcnn_x101",
                             "gs_cascade_rcnn_x101", "htc_x101",
-                            "gs_htc_x101", "gs_htc_dcn_x101"])
+                            "gs_htc_x101", "gs_htc_dcn_x101",
+                            "grid_rcnn_r50", "mask_scoring_rcnn_r50",
+                            "double_head_rcnn_r50"])
     p.add_argument("--ann", required=True)
     p.add_argument("--dataset", default="lvis",
                    choices=["lvis", "coco", "cityscapes"],
@@ -147,6 +149,11 @@ def main():
         "htc_x101": zoo.htc_x101_64x4d_fpn_lvis,
         "gs_htc_x101": lambda **kw: zoo.htc_x101_64x4d_fpn_lvis(use_gs=True, **kw),
         "gs_htc_dcn_x101": lambda **kw: zoo.htc_x101_64x4d_fpn_lvis(use_gs=True, dcn=True, **kw),
+        # detector-assembly variants (models/variants.py); FastRCNN needs
+        # precomputed proposals (no RPN) and is API-only — see zoo.fast_rcnn_r50_fpn
+        "grid_rcnn_r50": zoo.grid_rcnn_r50_fpn,
+        "mask_scoring_rcnn_r50": zoo.mask_scoring_rcnn_r50_fpn,
+        "double_head_rcnn_r50": zoo.double_head_rcnn_r50_fpn,
     }
     det_cfg, _ = builders[args.model]()
     partition = load_partition(args.partition) if args.partition else None
@@ -450,13 +457,18 @@ def main():
         shapes = jnp.asarray(shapes_np)
         sfs = jnp.asarray(sfs_np)
         fn, mask_fn, fused_fn = models[bucket]
-        mask_probs = None
+        mask_probs = mask_scores = None
         if args.aug_rescore:
             boxes, scores, labels, valid = run_aug_rescore(
                 samples, raws, bucket
             )
         elif fused_fn is not None:
-            dets, mprobs = fused_fn(variables, images, shapes, sfs)
+            out = fused_fn(variables, images, shapes, sfs)
+            # MaskScoringRCNN returns (dets, masks, mask_scores) — the
+            # segm records then carry det_score x predicted mask IoU
+            # (maskiou_head.py get_mask_scores); other models return 2.
+            dets, mprobs = out[0], out[1]
+            mask_scores = np.asarray(out[2], np.float32) if len(out) > 2 else None
             mask_probs = np.asarray(mprobs, np.float32)  # bf16-safe for cv2
             boxes = np.array(dets.boxes)
             scores = np.array(dets.scores)
@@ -591,6 +603,8 @@ def main():
                         info["height"], info["width"],
                     )
                     rec["segmentation"] = encode_mask(full)
+                    if mask_scores is not None:
+                        rec["segm_score"] = float(mask_scores[bi, di])
             records.extend(recs)
         batch_buf[bucket] = []
 

@@ -35,7 +35,9 @@ def parse_args():
                             "gs_mask_rcnn_r50", "cascade_rcnn_r50",
                             "gs_cascade_rcnn_r50", "cascade_rcnn_x101",
                             "gs_cascade_rcnn_x101", "htc_x101",
-                            "gs_htc_x101", "gs_htc_dcn_x101"])
+                            "gs_htc_x101", "gs_htc_dcn_x101",
+                            "grid_rcnn_r50", "mask_scoring_rcnn_r50",
+                            "double_head_rcnn_r50"])
     p.add_argument("--ann", required=True)
     p.add_argument("--dataset", default="lvis",
                    choices=["lvis", "coco", "cityscapes"],
@@ -141,6 +143,11 @@ def main():
         "htc_x101": zoo.htc_x101_64x4d_fpn_lvis,
         "gs_htc_x101": lambda **kw: zoo.htc_x101_64x4d_fpn_lvis(use_gs=True, **kw),
         "gs_htc_dcn_x101": lambda **kw: zoo.htc_x101_64x4d_fpn_lvis(use_gs=True, dcn=True, **kw),
+        # detector-assembly variants (models/variants.py); FastRCNN needs
+        # precomputed proposals (no RPN) and is API-only — see zoo.fast_rcnn_r50_fpn
+        "grid_rcnn_r50": zoo.grid_rcnn_r50_fpn,
+        "mask_scoring_rcnn_r50": zoo.mask_scoring_rcnn_r50_fpn,
+        "double_head_rcnn_r50": zoo.double_head_rcnn_r50_fpn,
     }
     det_cfg, train_cfg = builders[args.model]()
     if args.remat:

@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Deform-conv forward decomposition on the real chip (round 5).
+
+VERDICT round-4 weak #4: gs_htc_dcn_x101 pays ~1030 ms/step @8 over plain
+HTC for the c3-c5 grouped-v1 deform convs (30 layers on X101), and
+ops/deform_conv.py had no profile splitting the bilinear-gather cost from
+the grouped matmul. This script times ONE DeformConv layer per stage shape
+(X101-64x4d, 800x1344 inputs) and brackets:
+
+  full        the layer as the model runs it
+  gather      bilinear im2col only (cols materialized, matmul skipped)
+  matmul      grouped matmul only (cols precomputed outside the timer)
+  plain       nn.Conv with the same shape (the no-DCN floor)
+
+Usage: python work_dirs/dcn_bench.py [--batch 8] [--dtype bfloat16]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(fn, iters, *args):
+    jax.device_get(fn(*args))
+    t0 = time.perf_counter()
+    pending = fn(*args)
+    for _ in range(iters - 1):
+        nxt = fn(*args)
+        jax.device_get(pending)
+        pending = nxt
+    jax.device_get(pending)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=6)
+    p.add_argument("--dtype", default="bfloat16")
+    args = p.parse_args()
+
+    from balancedgroupsoftmax_tpu import enable_compilation_cache
+    from balancedgroupsoftmax_tpu.ops import deform_conv as dc
+
+    enable_compilation_cache()
+    dt = jnp.dtype(args.dtype)
+    rng = np.random.RandomState(0)
+    b = args.batch
+
+    # X101-64x4d bottleneck 3x3 widths at 800x1344 (stage s: H/2^{s+1}),
+    # groups=64 (gs_htc_dconv_* dcn=dict(groups=64)); width = planes *
+    # (4/64) * 64 = 4*planes
+    stages = {
+        "c3": (100, 168, 512),
+        "c4": (50, 84, 1024),
+        "c5": (25, 42, 2048),
+    }
+    groups = 64
+    for name, (h, w, c) in stages.items():
+        x = jnp.asarray(rng.randn(b, h, w, c), dt)
+        offsets = jnp.asarray(rng.randn(b, h, w, 18) * 2.0, jnp.float32)
+        weight = jnp.asarray(
+            rng.randn(3, 3, c // groups, c) * 0.05, dt
+        )
+
+        full = jax.jit(
+            lambda x, o, wgt: jax.vmap(
+                lambda xi, oi: dc.deform_conv2d(xi, oi, wgt, None, 1, 1, groups)
+            )(x, o)
+        )
+
+        def gather_only(x, o):
+            def one(xi, oi):
+                kh = kw = 3
+                taps = 9
+                base_y = jnp.arange(h, dtype=jnp.float32) - 1
+                base_x = jnp.arange(w, dtype=jnp.float32) - 1
+                tap_y = jnp.repeat(jnp.arange(3, dtype=jnp.float32), 3)
+                tap_x = jnp.tile(jnp.arange(3, dtype=jnp.float32), 3)
+                off = oi.reshape(h, w, taps, 2)
+                ys = base_y[:, None, None] + tap_y[None, None, :] + off[..., 0]
+                xs = base_x[None, :, None] + tap_x[None, None, :] + off[..., 1]
+                return dc._bilinear_hw(xi, ys, xs)
+
+            return jax.vmap(one)(x, o)
+
+        gather_j = jax.jit(gather_only)
+
+        cols = gather_j(x, offsets)  # (B, H, W, taps, C)
+
+        def matmul_only(cols, wgt):
+            def one(ci):
+                og = c // groups
+                cg = ci.reshape(h * w, 9, groups, c // groups)
+                cg = jnp.transpose(cg, (2, 0, 1, 3)).reshape(
+                    groups, h * w, 9 * (c // groups)
+                )
+                wg = wgt.reshape(9, c // groups, groups, og)
+                wg = jnp.transpose(wg, (2, 0, 1, 3)).reshape(
+                    groups, 9 * (c // groups), og
+                )
+                out = jax.lax.dot_general(
+                    cg, wg, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                return jnp.transpose(out, (1, 0, 2)).reshape(h, w, c)
+
+            return jax.vmap(one)(cols)
+
+        matmul_j = jax.jit(matmul_only)
+
+        plain = jax.jit(
+            lambda x, wgt: jax.lax.conv_general_dilated(
+                x, wgt, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=groups,
+            )
+        )
+
+        t_full = timed(full, args.iters, x, offsets, weight)
+        t_gather = timed(gather_j, args.iters, x, offsets)
+        t_matmul = timed(matmul_j, args.iters, cols, weight)
+        t_plain = timed(plain, args.iters, x, weight)
+        print(
+            f"{name} ({h}x{w}x{c}, B{b}, {args.dtype}): "
+            f"full {t_full*1e3:7.2f} ms | gather {t_gather*1e3:7.2f} | "
+            f"matmul {t_matmul*1e3:7.2f} | plain-conv {t_plain*1e3:7.2f}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
