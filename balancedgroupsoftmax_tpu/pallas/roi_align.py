@@ -20,8 +20,15 @@ The XLA gather formulation (ops/roi_align.py) is dispatch-bound on TPU
    (roi_align_kernel.cu bilinear_interpolate);
 4. averages the sample grid into the (out, out, C) output.
 
-Training uses a custom VJP whose backward is the XLA reference formulation
-(scatter-add) — matching the CUDA backward's atomicAdd semantics.
+Training uses a custom VJP. The default backward ("dense") is the
+transpose of the separable-interpolation forward taken in GLOBAL level
+coordinates — per level, dL = sum_r wy_r^T g_r wx_r as two batched MXU
+dot_generals per image, zero scatters — matching the CUDA backward's
+weights and boundary rules (roi_align_kernel.cu ROIAlignBackward) with a
+different summation order. Measured on-chip (BENCHMARKS round 5): full
+fwd+bwd 842 -> 638 ms @16, the roi-VJP+neck backward 432 -> 252 ms.
+"scan" (sequential windowed read-modify-write, collision-free) and
+"scatter" (chunked scatter_add) remain selectable via bwd_mode.
 """
 
 from __future__ import annotations
@@ -61,7 +68,7 @@ PRECOMPUTED_INTERP = False
 #               write, collision-free by construction).
 #   "scatter" — chunked jax.lax.scatter_add of batched window gradients
 #               (two big MXU einsums per chunk + window-granular scatter).
-BWD_MODE = "scan"
+BWD_MODE = "dense"
 BWD_SCATTER_CHUNK = 256
 
 WIN_H = 32  # short-axis window cells
@@ -629,19 +636,28 @@ def _bwd_dense(strides, out_size, sample_num, finest_scale, res, g):
         wy = cast(wy.reshape(b, r, out_size, h_l))
         wx = cast(wx.reshape(b, r, out_size, w_l))
 
+        # accumulate P in the matmul dtype directly: at bf16 this halves
+        # the (R*os, W_l*C) intermediate's HBM traffic and the relayout
+        # below, and the os=7-term contraction loses nothing (the MXU
+        # accumulates f32 per pass); f32 pyramids keep f32 + HIGHEST.
+        # (A "layout-aware" variant that emitted P as (r, i, c, x) so
+        # both reshapes are free measured WORSE on the chip — 709 vs 638
+        # ms full fwd+bwd — XLA's chosen layouts beat hand-reordering.)
+        p_dt = jnp.float32 if fdt == jnp.float32 else mmdt
+
         def img_body(_, per, h_l=h_l, w_l=w_l):
             wy_b, wx_b, g_b = per  # (r, os, H) (r, os, W) (r, os, os, c)
-            # P[r, i, x, c] = sum_j wx_b[r, j, x] g_b[r, i, j, c]
+            # P[r, x, i, c] = sum_j wx_b[r, j, x] g_b[r, i, j, c]
             p = jax.lax.dot_general(
                 wx_b, g_b,
                 (((1,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=p_dt,
                 precision=prec,
             )  # (r, x, i, c)
             # dL[y, (x c)] = sum_{(r i)} wy[(r i), y] P[(r i), (x c)]
             d = jax.lax.dot_general(
                 wy_b.reshape(r * out_size, h_l),
-                cast(jnp.transpose(p, (0, 2, 1, 3))).reshape(
+                jnp.transpose(p, (0, 2, 1, 3)).reshape(
                     r * out_size, w_l * c
                 ),
                 (((0,), (0,)), ((), ())),

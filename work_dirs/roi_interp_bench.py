@@ -52,16 +52,19 @@ def main():
 
     outs = {}
     for flag in (False, True):
-        ra.PRECOMPUTED_INTERP = flag
+        # explicit static arg (round-5 API): a changed value is a new jit
+        # cache key, so the toggle can never be silently ignored
         fn = jax.jit(
-            lambda f, rr: ra.multilevel_roi_align_pallas(f, rr, (4, 8, 16, 32), 7, 2, 56)
+            lambda f, rr, flag=flag: ra.multilevel_roi_align_pallas(
+                f, rr, (4, 8, 16, 32), 7, 2, 56, False, None, flag
+            )
         )
         # timing fn returns a scalar: fetching the (B*R, 7, 7, C) output
         # through the ~22 MB/s tunnel would swamp the kernel time
         tfn = jax.jit(
-            lambda f, rr: jnp.sum(
+            lambda f, rr, flag=flag: jnp.sum(
                 ra.multilevel_roi_align_pallas(
-                    f, rr, (4, 8, 16, 32), 7, 2, 56
+                    f, rr, (4, 8, 16, 32), 7, 2, 56, False, None, flag
                 ).astype(jnp.float32)
             )
         )
