@@ -23,6 +23,24 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+# Grouped-contraction formulation (read at TRACE time — set before
+# building/jitting the model; work_dirs/dcn_bench.py A/Bs these):
+#   True  -> one dense GEMM against a block-diagonal weight (no
+#            transposes; trades G x MXU FLOPs for clean layouts)
+#   False -> per-group batched matmul (the true-FLOPs form; its
+#            transposes put taps=9 in the tiled minor dim, which can
+#            inflate 14x under bf16 layouts)
+DENSE_GROUPS = True
+# Force f32 gathered corners (the pre-round-5 behavior) for A/B.
+F32_COLS = False
+# Fetch each sample's 2x2 bilinear support as ONE gather of a (2, 2, C)
+# patch instead of four independent corner row-gathers (4x fewer gather
+# descriptors, same bytes). "auto" (default) picks per layer by grid
+# size — measured on-chip (BENCHMARKS round 5): patch wins 38%/23% at
+# c3/c4 and ties at c5, so small grids keep the corner form.
+PATCH_GATHER = "auto"
+PATCH_GATHER_MIN_POSITIONS = 2000
+
 
 def _bilinear_hw(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
     """img (H, W, C); ys/xs (...,) -> (..., C); zero outside bounds.
@@ -35,22 +53,72 @@ def _bilinear_hw(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndar
     have anyway. Index math and bilinear fractions stay f32.
     """
     h, w = img.shape[0], img.shape[1]
-    dt = img.dtype
+    use_patch = PATCH_GATHER
+    if use_patch == "auto":
+        n_pos = 1
+        for d in ys.shape:
+            n_pos *= int(d)
+        use_patch = n_pos >= PATCH_GATHER_MIN_POSITIONS
+    dt = jnp.float32 if F32_COLS else img.dtype
+    img = img.astype(dt)
     valid = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
     ly = ys - y0
     lx = xs - x0
+    # clip floor and floor+1 INDEPENDENTLY: deriving the high corner from
+    # the already-clipped low corner put samples with a coordinate in
+    # (-1, 0) on row/col 1 instead of 0 (caught by the numpy oracle of
+    # deform_conv_cuda_kernel.cu deformable_im2col_bilinear:84-113; the
+    # zero-weight validity masks hide the low corner's clip, not this)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
     x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
     # corner validity (the CUDA kernel zero-pads out-of-bounds taps)
     v00 = (y0 >= 0) & (x0 >= 0)
     v01 = (y0 >= 0) & (x0 + 1 <= w - 1)
     v10 = (y0 + 1 <= h - 1) & (x0 >= 0)
     v11 = (y0 + 1 <= h - 1) & (x0 + 1 <= w - 1)
     zero = jnp.zeros((), dt)
+    if use_patch:
+        # one (2, 2, C) patch gather per sample. The patch anchors at
+        # (ys0, xs0) = clip(floor, 0, size-2); each CUDA corner maps to a
+        # patch cell by (corner - anchor) in {0, 1} — coincident/clamped
+        # corners simply accumulate their weights on the same cell, so
+        # the boundary semantics (incl. the (-1, 0) band) are identical
+        # to the four-gather form by construction.
+        y0c = y0.astype(jnp.int32)
+        x0c = x0.astype(jnp.int32)
+        ys0 = jnp.clip(y0c, 0, h - 2)
+        xs0 = jnp.clip(x0c, 0, w - 2)
+        shp = ys.shape
+        starts = jnp.stack(
+            [ys0.reshape(-1), xs0.reshape(-1)], axis=-1
+        )
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3),
+            collapsed_slice_dims=(),
+            start_index_map=(0, 1),
+        )
+        patch = jax.lax.gather(
+            img, starts, dnums, slice_sizes=(2, 2, img.shape[-1]),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        ).reshape(*shp, 2, 2, img.shape[-1])
+        wly = jnp.where(y0 >= 0, 1.0, 0.0) * (1 - ly)
+        why = jnp.where(y0 + 1 <= h - 1, 1.0, 0.0) * ly
+        wlx = jnp.where(x0 >= 0, 1.0, 0.0) * (1 - lx)
+        whx = jnp.where(x0 + 1 <= w - 1, 1.0, 0.0) * lx
+        a_lo = (y0i - ys0)[..., None]  # {0,1} cell of the low-y corner
+        a_hi = (y1i - ys0)[..., None]
+        b_lo = (x0i - xs0)[..., None]
+        b_hi = (x1i - xs0)[..., None]
+        cell = jnp.arange(2)
+        wy_cell = wly[..., None] * (cell == a_lo) + why[..., None] * (cell == a_hi)
+        wx_cell = wlx[..., None] * (cell == b_lo) + whx[..., None] * (cell == b_hi)
+        wgt2 = (wy_cell[..., :, None] * wx_cell[..., None, :]).astype(dt)
+        out = (patch * wgt2[..., None]).sum(axis=(-3, -2))
+        return jnp.where(valid[..., None], out, zero)
     g00 = jnp.where(v00[..., None], img[y0i, x0i], zero)
     g01 = jnp.where(v01[..., None], img[y0i, x1i], zero)
     g10 = jnp.where(v10[..., None], img[y1i, x0i], zero)
@@ -99,28 +167,54 @@ def deform_conv2d(
 
     cols = _bilinear_hw(x, ys, xs)  # (H_out, W_out, taps, C_in)
     if mask is not None:
-        cols = cols * mask[..., None]
+        cols = cols * mask[..., None].astype(cols.dtype)
     if groups == 1:
         cols = cols.reshape(h_out * w_out, taps * c_in)
-        w2 = weight.reshape(taps * c_in, c_out)
+        w2 = weight.reshape(taps * c_in, c_out).astype(cols.dtype)
         out = jnp.dot(cols, w2, preferred_element_type=jnp.float32)
-    else:
-        # grouped: input group g x kernel output slice g — a batched matmul
-        # over G small (HW, taps*Cg) @ (taps*Cg, Og) contractions. 64x fewer
-        # FLOPs than the dense form at X101's G=64 (and the dense form is
-        # NOT the reference's semantics).
+    elif not DENSE_GROUPS:
+        # per-group batched matmul (true-FLOPs form; kept for A/B — its
+        # transposes can pick taps-minor tiled layouts)
         og = c_out // groups
         cg = cols.reshape(h_out * w_out, taps, groups, c_g)
         cg = jnp.transpose(cg, (2, 0, 1, 3)).reshape(
             groups, h_out * w_out, taps * c_g
         )
         wg = weight.reshape(taps, c_g, groups, og)
-        wg = jnp.transpose(wg, (2, 0, 1, 3)).reshape(groups, taps * c_g, og)
+        wg = jnp.transpose(wg, (2, 0, 1, 3)).reshape(
+            groups, taps * c_g, og
+        ).astype(cg.dtype)
         out = jax.lax.dot_general(
             cg, wg, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (G, HW, Og)
         out = jnp.transpose(out, (1, 0, 2)).reshape(h_out * w_out, c_out)
+    else:
+        # Grouped contraction as ONE dense GEMM against a block-diagonal
+        # weight — deliberately "wasting" G x MXU FLOPs to keep layouts
+        # clean. The per-group batched-matmul formulation needs transposes
+        # whose tiled layouts put taps=9 in the minor dimension (padded
+        # 9 -> 128, a 14x inflation): one c4 X101 layer at batch 8 then
+        # ALLOCATES 19 GB and fails to compile on a 16 GB chip. The dense
+        # (HW, taps*C_in) @ (taps*C_in, C_out) GEMM has no transposes, a
+        # clean minor dim, and its extra FLOPs are ~3 ms/layer at c3 on
+        # the MXU — far below the relayout cost it removes. Zeros in the
+        # off-group blocks reproduce the grouped semantics exactly
+        # (deform_conv_cuda.cpp `group`).
+        og = c_out // groups
+        w3 = weight.reshape(taps, c_g, c_out)
+        # gmask[g, j] = 1 iff output channel j belongs to input group g
+        gmask = jnp.repeat(
+            jnp.eye(groups, dtype=weight.dtype), og, axis=1
+        )  # (G, C_out)
+        w_dense = (w3[:, None, :, :] * gmask[None, :, None, :]).reshape(
+            taps * c_in, c_out
+        ).astype(cols.dtype)  # cols channel order is (taps, G, c_g) — matches
+        out = jnp.dot(
+            cols.reshape(h_out * w_out, taps * c_in),
+            w_dense,
+            preferred_element_type=jnp.float32,
+        )
     return out.reshape(h_out, w_out, c_out).astype(x.dtype)
 
 

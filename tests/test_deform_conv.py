@@ -170,3 +170,43 @@ def test_dcn_x101_block_is_v1_grouped():
     assert p["conv2"]["kernel"].shape == (3, 3, width // 4, width)
     out = block.apply(variables, x)
     assert out.shape == (1, 16, 16, 512)
+
+
+def test_bilinear_matches_cuda_oracle_on_boundaries():
+    """Dense sweep of sample positions across and BEYOND the image border
+    against a numpy oracle of deformable_im2col_bilinear
+    (deform_conv_cuda_kernel.cu:84-113). Round-5 regression: deriving the
+    high corner from the already-clipped low corner put samples with a
+    coordinate in (-1, 0) on row/col 1 instead of 0."""
+    from balancedgroupsoftmax_tpu.ops.deform_conv import _bilinear_hw
+
+    def oracle(im, y, x):
+        H, W = im.shape[:2]
+        if not (y > -1 and x > -1 and y < H and x < W):
+            return np.zeros(im.shape[-1])
+        hl, wl = int(np.floor(y)), int(np.floor(x))
+        hh_, wh_ = hl + 1, wl + 1
+        lh, lw = y - hl, x - wl
+        hh, hw = 1 - lh, 1 - lw
+        v = np.zeros(im.shape[-1])
+        if hl >= 0 and wl >= 0:
+            v = v + hh * hw * im[hl, wl]
+        if hl >= 0 and wh_ <= W - 1:
+            v = v + hh * lw * im[hl, wh_]
+        if hh_ <= H - 1 and wl >= 0:
+            v = v + lh * hw * im[hh_, wl]
+        if hh_ <= H - 1 and wh_ <= W - 1:
+            v = v + lh * lw * im[hh_, wh_]
+        return v
+
+    rng = np.random.RandomState(0)
+    im = rng.randn(5, 5, 2).astype(np.float32)
+    grid = np.linspace(-1.4, 5.4, 35)
+    Y, X = np.meshgrid(grid, grid, indexing="ij")
+    got = np.asarray(
+        _bilinear_hw(jnp.asarray(im), jnp.asarray(Y.ravel()), jnp.asarray(X.ravel()))
+    )
+    ref = np.stack(
+        [oracle(im, float(y), float(x)) for y, x in zip(Y.ravel(), X.ravel())]
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5)

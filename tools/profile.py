@@ -53,6 +53,18 @@ def main():
     from balancedgroupsoftmax_tpu.gs.partition import synthetic_partition
     from balancedgroupsoftmax_tpu.models.detector import build_model
 
+    import os as _os
+    if _os.environ.get("DCN_DENSE") is not None or _os.environ.get("DCN_F32_COLS"):
+        # A/B the deform-conv formulation (trace-time toggles; set before
+        # any jit — work_dirs/dcn_bench.py + BENCHMARKS round 5)
+        from balancedgroupsoftmax_tpu.ops import deform_conv as _dc
+
+        if _os.environ.get("DCN_DENSE") is not None:
+            _dc.DENSE_GROUPS = _os.environ["DCN_DENSE"] == "1"
+        if _os.environ.get("DCN_F32_COLS"):
+            _dc.F32_COLS = _os.environ["DCN_F32_COLS"] == "1"
+        print(f"dcn: DENSE_GROUPS={_dc.DENSE_GROUPS} F32_COLS={_dc.F32_COLS}")
+
     enable_compilation_cache()
 
     builders = {

@@ -27,6 +27,10 @@ import numpy as np
 
 
 def timed(fn, iters, *args):
+    # reduce on device: fetching full feature maps through the ~22 MB/s
+    # tunnel (137 MB-1.2 GB here) would swamp the kernel time 100-1000x
+    raw = fn
+    fn = jax.jit(lambda *a: jnp.sum(raw(*a).astype(jnp.float32)))
     jax.device_get(fn(*args))
     t0 = time.perf_counter()
     pending = fn(*args)
@@ -95,21 +99,20 @@ def main():
         cols = gather_j(x, offsets)  # (B, H, W, taps, C)
 
         def matmul_only(cols, wgt):
+            # the shipped block-diagonal dense GEMM (ops/deform_conv.py)
             def one(ci):
                 og = c // groups
-                cg = ci.reshape(h * w, 9, groups, c // groups)
-                cg = jnp.transpose(cg, (2, 0, 1, 3)).reshape(
-                    groups, h * w, 9 * (c // groups)
+                cg_w = c // groups
+                w3 = wgt.reshape(9, cg_w, c)
+                gmask = jnp.repeat(jnp.eye(groups, dtype=wgt.dtype), og, axis=1)
+                w_dense = (w3[:, None, :, :] * gmask[None, :, None, :]).reshape(
+                    9 * c, c
                 )
-                wg = wgt.reshape(9, c // groups, groups, og)
-                wg = jnp.transpose(wg, (2, 0, 1, 3)).reshape(
-                    groups, 9 * (c // groups), og
-                )
-                out = jax.lax.dot_general(
-                    cg, wg, (((2,), (1,)), ((0,), (0,))),
+                out = jnp.dot(
+                    ci.reshape(h * w, 9 * c), w_dense,
                     preferred_element_type=jnp.float32,
                 )
-                return jnp.transpose(out, (1, 0, 2)).reshape(h, w, c)
+                return out.reshape(h, w, c)
 
             return jax.vmap(one)(cols)
 
