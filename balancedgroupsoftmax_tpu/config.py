@@ -141,6 +141,11 @@ class BackboneConfig:
     # reads them from the dcn dict (resnext.py: self.dcn.get('groups', 1)).
     # None => follow `groups` (they coincide at 64 for the shipped X101).
     dcn_groups: Optional[int] = None
+    # >0: gather-free shift-decomposition deform-conv im2col with offsets
+    # clamped to +-dcn_shift_window cells (ops/deform_conv.py
+    # _shift_window_cols — exact within the window, bounded deformation
+    # range beyond); 0: the exact-everywhere bilinear gather
+    dcn_shift_window: int = 0
     # rematerialize residual blocks (jax.checkpoint) — trades FLOPs for
     # activation memory, enabling larger train batches
     remat: bool = False

@@ -62,6 +62,7 @@ class Bottleneck(nn.Module):
     # deform-conv groups (reference reads dcn.get('groups', 1) — resnext.py);
     # 0 => follow `groups` (the shipped X101 config has both at 64)
     dcn_groups: int = 0
+    dcn_shift_window: int = 0  # see ops/deform_conv.py _shift_window_cols
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -90,6 +91,7 @@ class Bottleneck(nn.Module):
                 padding=1,
                 modulated=self.dcn_modulated,
                 groups=self.dcn_groups or self.groups,
+                shift_window=self.dcn_shift_window,
                 dtype=self.dtype,
                 name="conv2",
             )(y)
@@ -130,6 +132,7 @@ class ResNet(nn.Module):
     dcn_stages: Tuple[bool, ...] = (False, False, False, False)
     dcn_modulated: bool = False
     dcn_groups: int = 0  # 0 => follow `groups`
+    dcn_shift_window: int = 0
     remat: bool = False  # rematerialize blocks (activation checkpointing)
     dtype: jnp.dtype = jnp.float32
 
@@ -163,6 +166,7 @@ class ResNet(nn.Module):
                     use_dcn=self.dcn_stages[stage],
                     dcn_modulated=self.dcn_modulated,
                     dcn_groups=self.dcn_groups,
+                    dcn_shift_window=self.dcn_shift_window,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{b}",
                 )(x)

@@ -133,6 +133,110 @@ def _bilinear_hw(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndar
     return jnp.where(valid[..., None], out, zero)
 
 
+def _shift_window_cols(
+    x: jnp.ndarray,  # (H, W, C)
+    offsets: jnp.ndarray,  # (H_out, W_out, taps, 2) f32 — (dy, dx)
+    kh: int,
+    kw: int,
+    stride: int,
+    padding: int,
+    window: int,
+) -> jnp.ndarray:
+    """Bilinear im2col as a static sum of integer shifts — NO gather.
+
+    Decomposition: tap k of output position (i, j) samples the image at
+    (i*stride - padding + ky + dy, ...). With the learned offset clamped
+    to [-window, window] cells, the integer part of the displacement is
+    one of the (k + 2*window) static shifts, so the bilinear blend is
+
+        cols[i,j,k,c] = sum_{s,t} wy_s[i,j,k] * wx_t[i,j,k] * x[ai+s, aj+t, c]
+
+    where every x[ai+s, aj+t] term is a plain strided SLICE of the
+    zero-padded image and wy/wx are piecewise-linear one-hot weights (4
+    nonzeros per sample). This replaces the per-sample gather (302k
+    descriptors per c4 layer, the dominant DCN cost — BENCHMARKS round 5)
+    with (k+2w)^2 dense VPU FMA passes, and its transpose is a sum of
+    pads — so the DCN backward has no scatter either.
+
+    Semantics vs the CUDA im2col (deform_conv_cuda_kernel.cu:84-113):
+    exactly the gather path evaluated at clip(offsets, +-window) — i.e.
+    bit-matching whenever |offset| <= window (corner zero-padding and the
+    fully-outside-image rule both fall out of the zero pad + validity
+    mask), a bounded deformation range beyond. Gradients flow to the
+    offsets through the piecewise-linear weights, as in the reference.
+    """
+    h, w_in, c = x.shape
+    h_out, w_out, taps, _ = offsets.shape
+    dt = x.dtype
+
+    tap_y = jnp.repeat(jnp.arange(kh, dtype=jnp.float32), kw)  # (taps,)
+    tap_x = jnp.tile(jnp.arange(kw, dtype=jnp.float32), kh)
+    dy = jnp.clip(offsets[..., 0], -float(window), float(window))
+    dx = jnp.clip(offsets[..., 1], -float(window), float(window))
+    rel_y = tap_y[None, None, :] + dy  # (Ho, Wo, taps) in [-w, kh-1+w]
+    rel_x = tap_x[None, None, :] + dx
+
+    # validity on the CLAMPED absolute position, so the whole path is
+    # exactly "the bilinear gather evaluated at clip(offsets, +-window)"
+    # — the CUDA rule zeroes samples at y <= -1 or y >= h
+    base_y = (
+        jnp.arange(h_out, dtype=jnp.float32) * stride - padding
+    )[:, None, None]
+    base_x = (
+        jnp.arange(w_out, dtype=jnp.float32) * stride - padding
+    )[None, :, None]
+    ys_abs = base_y + rel_y
+    xs_abs = base_x + rel_x
+    valid = (ys_abs > -1.0) & (ys_abs < h) & (xs_abs > -1.0) & (xs_abs < w_in)
+
+    fy = jnp.floor(rel_y)
+    fx = jnp.floor(rel_x)
+    fracy = rel_y - fy
+    fracx = rel_x - fx
+    fy = fy.astype(jnp.int32)
+    fx = fx.astype(jnp.int32)
+
+    # zero-pad so every (shift, output-position) pair is a plain slice;
+    # out-of-image corners read zeros = the CUDA corner rule
+    pt = padding + window
+    pl_ = padding + window
+    hp = (h_out - 1) * stride + kh + 2 * window
+    wp = (w_out - 1) * stride + kw + 2 * window
+    xp = jnp.zeros((hp, wp, c), dt)
+    xp = jax.lax.dynamic_update_slice(xp, x, (pt, pl_, 0))
+
+    shifts_y = range(-window, kh + window)  # kh + 2*window values
+    shifts_x = range(-window, kw + window)
+    wys = {
+        s: jnp.where(fy == s, 1.0 - fracy, 0.0)
+        + jnp.where(fy == s - 1, fracy, 0.0)
+        for s in shifts_y
+    }
+    wxs = {
+        t: jnp.where(fx == t, 1.0 - fracx, 0.0)
+        + jnp.where(fx == t - 1, fracx, 0.0)
+        for t in shifts_x
+    }
+
+    acc = jnp.zeros((h_out, w_out, taps, c), dt)
+    for s in shifts_y:
+        y0 = s + window  # xp row of output row 0 = 0*stride - padding + s + pt
+        rows = jax.lax.slice(
+            xp, (y0, 0, 0), (y0 + (h_out - 1) * stride + 1, wp, c),
+            (stride, 1, 1),
+        )  # (Ho, Wp, C)
+        for t in shifts_x:
+            x0 = t + window
+            patch = jax.lax.slice(
+                rows, (0, x0, 0), (h_out, x0 + (w_out - 1) * stride + 1, c),
+                (1, stride, 1),
+            )  # (Ho, Wo, C)
+            wgt = (wys[s] * wxs[t]).astype(dt)  # (Ho, Wo, taps)
+            acc = acc + wgt[..., None] * patch[:, :, None, :]
+    zero = jnp.zeros((), dt)
+    return jnp.where(valid[..., None], acc, zero)
+
+
 def deform_conv2d(
     x: jnp.ndarray,  # (H, W, C_in) single image
     offsets: jnp.ndarray,  # (H_out, W_out, 2*kh*kw) — (dy, dx) per tap
@@ -141,31 +245,39 @@ def deform_conv2d(
     stride: int = 1,
     padding: int = 1,
     groups: int = 1,
+    shift_window: int = 0,
 ) -> jnp.ndarray:
     """(H_out, W_out, C_out). Offset layout matches the reference's
     conv_offset output: channel 2k = dy of tap k, 2k+1 = dx (row-major
     taps). groups follows the grouped-conv semantics of the CUDA kernel
     (deform_conv_cuda.cpp `group` — input group g contracts against output
     slice g), which the X101-64x4d DCN configs rely on (dcn=dict(groups=64),
-    gs_htc_dconv_c3-c5_*.py)."""
+    gs_htc_dconv_c3-c5_*.py).
+
+    shift_window > 0 selects the gather-free shift-decomposition im2col
+    (`_shift_window_cols`): exact for |offset| <= shift_window cells,
+    clamped beyond. 0 = the exact-everywhere bilinear gather."""
     kh, kw, c_g, c_out = weight.shape
     c_in = x.shape[-1]
     assert c_g * groups == c_in and c_out % groups == 0
     h_out, w_out = offsets.shape[0], offsets.shape[1]
     taps = kh * kw
 
-    base_y = jnp.arange(h_out, dtype=jnp.float32) * stride - padding
-    base_x = jnp.arange(w_out, dtype=jnp.float32) * stride - padding
-    ky = jnp.arange(kh, dtype=jnp.float32)
-    kx = jnp.arange(kw, dtype=jnp.float32)
-    tap_y = jnp.repeat(ky, kw)  # (taps,)
-    tap_x = jnp.tile(kx, kh)
-
     off = offsets.reshape(h_out, w_out, taps, 2)
-    ys = base_y[:, None, None] + tap_y[None, None, :] + off[..., 0]
-    xs = base_x[None, :, None] + tap_x[None, None, :] + off[..., 1]
+    if shift_window > 0:
+        cols = _shift_window_cols(x, off, kh, kw, stride, padding, shift_window)
+    else:
+        base_y = jnp.arange(h_out, dtype=jnp.float32) * stride - padding
+        base_x = jnp.arange(w_out, dtype=jnp.float32) * stride - padding
+        ky = jnp.arange(kh, dtype=jnp.float32)
+        kx = jnp.arange(kw, dtype=jnp.float32)
+        tap_y = jnp.repeat(ky, kw)  # (taps,)
+        tap_x = jnp.tile(kx, kh)
 
-    cols = _bilinear_hw(x, ys, xs)  # (H_out, W_out, taps, C_in)
+        ys = base_y[:, None, None] + tap_y[None, None, :] + off[..., 0]
+        xs = base_x[None, :, None] + tap_x[None, None, :] + off[..., 1]
+
+        cols = _bilinear_hw(x, ys, xs)  # (H_out, W_out, taps, C_in)
     if mask is not None:
         cols = cols * mask[..., None].astype(cols.dtype)
     if groups == 1:
@@ -277,6 +389,9 @@ class DeformConv(nn.Module):
     padding: int = 1
     modulated: bool = True  # v2
     groups: int = 1  # grouped conv (X101 DCN configs: dcn=dict(groups=64))
+    # >0: gather-free shift-decomposition im2col, offsets clamped to
+    # +-shift_window cells (see _shift_window_cols); 0: exact gather
+    shift_window: int = 0
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -310,16 +425,28 @@ class DeformConv(nn.Module):
             (k, k, x.shape[-1] // self.groups, self.features),
         )
 
-        if mask is not None:
+        if self.shift_window > 0 and jax.default_backend() == "tpu":
+            # fused Pallas forward (im2col never hits HBM; runs at the
+            # plain-conv floor — BENCHMARKS round 5) with the dense XLA
+            # shift-path backward; same clip(offsets, +-window) semantics
+            from ..pallas.deform_conv import deform_conv2d_fused
+
+            out = deform_conv2d_fused(
+                x, offsets, weight, mask, self.stride, self.padding,
+                self.groups, self.shift_window, False,
+            )
+        elif mask is not None:
             out = jax.vmap(
                 lambda xi, oi, mi: deform_conv2d(
-                    xi, oi, weight, mi, self.stride, self.padding, self.groups
+                    xi, oi, weight, mi, self.stride, self.padding, self.groups,
+                    self.shift_window,
                 )
             )(x, offsets, mask)
         else:
             out = jax.vmap(
                 lambda xi, oi: deform_conv2d(
-                    xi, oi, weight, None, self.stride, self.padding, self.groups
+                    xi, oi, weight, None, self.stride, self.padding, self.groups,
+                    self.shift_window,
                 )
             )(x, offsets)
         if self.use_bias:

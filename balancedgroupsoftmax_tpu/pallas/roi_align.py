@@ -561,7 +561,8 @@ def _interp_matrices(start, bin_sz, size_l, origin, win, out_size, sample_num):
     return m_sum / sample_num
 
 
-def _bwd_dense(strides, out_size, sample_num, finest_scale, res, g):
+def _bwd_dense(strides, out_size, sample_num, finest_scale, res, g,
+               variant="dense"):
     """Dense per-level matmul RoIAlign backward — zero scatters, pure MXU.
 
     The transpose of the separable-interpolation forward, taken in GLOBAL
@@ -647,6 +648,26 @@ def _bwd_dense(strides, out_size, sample_num, finest_scale, res, g):
 
         def img_body(_, per, h_l=h_l, w_l=w_l):
             wy_b, wx_b, g_b = per  # (r, os, H) (r, os, W) (r, os, os, c)
+            if variant == "dense2":
+                # rows first: Q[r, y, i->folded, c] then contract (r, j)
+                # in ONE dot — no (r*os, W*C) transpose at all, and the
+                # intermediate is H_l-sized instead of W_l-sized (1.7x
+                # smaller at the 2:1.68 aspect of the padded pyramid);
+                # the only relayout left is the (W, H, C) -> (H, W, C)
+                # transpose of the final level grad (17 MB at level 0)
+                q = jax.lax.dot_general(
+                    wy_b, g_b,
+                    (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=p_dt,
+                    precision=prec,
+                )  # (r, y, j, c)
+                d = jax.lax.dot_general(
+                    wx_b, q,
+                    (((0, 1), (0, 2)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )  # (x, y, c)
+                return None, jnp.transpose(d, (1, 0, 2))
             # P[r, x, i, c] = sum_j wx_b[r, j, x] g_b[r, i, j, c]
             p = jax.lax.dot_general(
                 wx_b, g_b,
@@ -676,8 +697,10 @@ def _bwd(
     precomputed_interp, res, g,
 ):
     mode = bwd_mode if bwd_mode is not None else BWD_MODE
-    if mode == "dense":
-        return _bwd_dense(strides, out_size, sample_num, finest_scale, res, g)
+    if mode in ("dense", "dense2"):
+        return _bwd_dense(
+            strides, out_size, sample_num, finest_scale, res, g, mode
+        )
     return _bwd_windowed(
         strides, out_size, sample_num, finest_scale, mode, res, g
     )

@@ -129,9 +129,12 @@ def htc_x101_64x4d_fpn_lvis(
     use_gs: bool = False,
     partition_path: Optional[str] = None,
     dcn: bool = False,
+    dcn_shift_window: int = 0,
 ) -> Tuple[DetectorConfig, TrainConfig]:
     """configs/bags/gs_htc_x101_64x4d_fpn_20e_16gpu_lvis.py equivalent;
-    dcn=True adds deformable conv c3-c5 (gs_htc_dconv_* top-line model)."""
+    dcn=True adds deformable conv c3-c5 (gs_htc_dconv_* top-line model).
+    dcn_shift_window>0 selects the gather-free shift-decomposition
+    deform-conv im2col (offsets clamped to +-window cells)."""
     det = DetectorConfig(
         backbone=BackboneConfig(
             depth=101,
@@ -140,6 +143,7 @@ def htc_x101_64x4d_fpn_lvis(
             # stage_with_dcn=(False, True, True, True) — c3-c5
             # (gs_htc_dconv_c3-c5_mstrain_400_1400_x101_64x4d_fpn_20e_lvis.py:22)
             dcn_stages=(False, True, True, True) if dcn else (False,) * 4,
+            dcn_shift_window=dcn_shift_window if dcn else 0,
         ),
         bbox_head=BBoxHeadConfig(
             num_classes=num_classes,

@@ -210,3 +210,48 @@ def test_bilinear_matches_cuda_oracle_on_boundaries():
         [oracle(im, float(y), float(x)) for y, x in zip(Y.ravel(), X.ravel())]
     )
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_shift_window_matches_gather_within_window():
+    """The gather-free shift-decomposition cols (shift_window=D) must match
+    the exact bilinear-gather path — values AND input/offset gradients —
+    whenever |offset| <= D, including samples pushed off the image edge
+    and the strided (first-block) layout."""
+    rng = np.random.RandomState(7)
+    for stride, h, w, c, d in [(1, 13, 11, 8, 2), (2, 13, 11, 8, 3)]:
+        ho = (h + 2 - 3) // stride + 1
+        wo = (w + 2 - 3) // stride + 1
+        x = jnp.asarray(rng.randn(h, w, c), jnp.float32)
+        off = jnp.asarray(rng.uniform(-d, d, (ho, wo, 18)), jnp.float32)
+        wgt = jnp.asarray(rng.randn(3, 3, c, c) * 0.1, jnp.float32)
+        a = deform_conv2d(x, off, wgt, None, stride, 1, 1, 0)
+        b = deform_conv2d(x, off, wgt, None, stride, 1, 1, d)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+        g0 = jax.grad(
+            lambda x_, o_: jnp.sum(
+                jnp.sin(deform_conv2d(x_, o_, wgt, None, stride, 1, 1, 0))
+            ),
+            argnums=(0, 1),
+        )(x, off)
+        g1 = jax.grad(
+            lambda x_, o_: jnp.sum(
+                jnp.sin(deform_conv2d(x_, o_, wgt, None, stride, 1, 1, d))
+            ),
+            argnums=(0, 1),
+        )(x, off)
+        for u, v in zip(g0, g1):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=1e-4)
+
+
+def test_shift_window_clamps_large_offsets():
+    """Offsets beyond the window clamp to +-window cells: the result must
+    equal the gather path evaluated at the clamped offsets."""
+    rng = np.random.RandomState(8)
+    h = w = 11
+    x = jnp.asarray(rng.randn(h, w, 4), jnp.float32)
+    off = jnp.asarray(rng.uniform(-6.0, 6.0, (h, w, 18)), jnp.float32)
+    wgt = jnp.asarray(rng.randn(3, 3, 4, 4) * 0.1, jnp.float32)
+    d = 2
+    got = deform_conv2d(x, off, wgt, None, 1, 1, 1, d)
+    ref = deform_conv2d(x, jnp.clip(off, -d, d), wgt, None, 1, 1, 1, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)

@@ -156,13 +156,14 @@ def test_dense_backward_matches_scan_backward():
         ref = ra._bwd(
             strides, out_size, 2, 56, False, "scan", None, (feats, rois), g
         )[0]
-        got = ra._bwd(
-            strides, out_size, 2, 56, False, "dense", None, (feats, rois), g
-        )[0]
-        for a, b in zip(got, ref):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
-            )
+        for mode in ("dense", "dense2"):
+            got = ra._bwd(
+                strides, out_size, 2, 56, False, mode, None, (feats, rois), g
+            )[0]
+            for a, b in zip(got, ref):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+                )
 
 
 def test_dense_backward_bf16_pyramid():

@@ -79,7 +79,10 @@ def main():
         "gs_cascade_rcnn_x101": lambda: zoo.cascade_rcnn_x101_64x4d_fpn_lvis(use_gs=True),
         "htc_x101": zoo.htc_x101_64x4d_fpn_lvis,
         "gs_htc_x101": lambda: zoo.htc_x101_64x4d_fpn_lvis(use_gs=True),
-        "gs_htc_dcn_x101": lambda: zoo.htc_x101_64x4d_fpn_lvis(use_gs=True, dcn=True),
+        "gs_htc_dcn_x101": lambda: zoo.htc_x101_64x4d_fpn_lvis(
+            use_gs=True, dcn=True,
+            dcn_shift_window=int(_os.environ.get("DCN_SHIFT_WINDOW", "0")),
+        ),
     }
     det_cfg, train_cfg = builders[args.model]()
     if args.remat:

@@ -30,7 +30,11 @@ def timed(fn, iters, *args):
     # reduce on device: fetching full feature maps through the ~22 MB/s
     # tunnel (137 MB-1.2 GB here) would swamp the kernel time 100-1000x
     raw = fn
-    fn = jax.jit(lambda *a: jnp.sum(raw(*a).astype(jnp.float32)))
+    fn = jax.jit(
+        lambda *a: sum(
+            jnp.sum(t.astype(jnp.float32)) for t in jax.tree.leaves(raw(*a))
+        )
+    )
     jax.device_get(fn(*args))
     t0 = time.perf_counter()
     pending = fn(*args)
@@ -47,6 +51,18 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument(
+        "--shift-window", type=int, default=0,
+        help="also time the gather-free shift-decomposition cols builder "
+        "(deform_conv2d shift_window=D) full layer + cols-only",
+    )
+    p.add_argument(
+        "--bwd", action="store_true",
+        help="time fwd+bwd (value_and_grad wrt x/offsets/weight) for the "
+        "gather path vs the shift-window path — the gather's VJP is an "
+        "XLA scatter-add (1387 ms for ONE c4 layer, BENCHMARKS round 5); "
+        "the shift path's VJP is a sum of pads",
+    )
     args = p.parse_args()
 
     from balancedgroupsoftmax_tpu import enable_compilation_cache
@@ -136,6 +152,50 @@ def main():
             f"matmul {t_matmul*1e3:7.2f} | plain-conv {t_plain*1e3:7.2f}",
             flush=True,
         )
+        if args.shift_window > 0:
+            sw = args.shift_window
+            full_sw = jax.jit(
+                lambda x, o, wgt: jax.vmap(
+                    lambda xi, oi: dc.deform_conv2d(
+                        xi, oi, wgt, None, 1, 1, groups, sw
+                    )
+                )(x, o)
+            )
+            cols_sw = jax.jit(
+                lambda x, o: jax.vmap(
+                    lambda xi, oi: dc._shift_window_cols(
+                        xi, oi.reshape(h, w, 9, 2), 3, 3, 1, 1, sw
+                    )
+                )(x, o)
+            )
+            t_full_sw = timed(full_sw, args.iters, x, offsets, weight)
+            t_cols_sw = timed(cols_sw, args.iters, x, offsets)
+            print(
+                f"   shift-window D={sw}: full {t_full_sw*1e3:7.2f} ms | "
+                f"cols {t_cols_sw*1e3:7.2f}",
+                flush=True,
+            )
+        if args.bwd:
+            def make_vg(swin):
+                def loss(x, o, wgt):
+                    out = jax.vmap(
+                        lambda xi, oi: dc.deform_conv2d(
+                            xi, oi, wgt, None, 1, 1, groups, swin
+                        )
+                    )(x, o)
+                    return jnp.sum(out.astype(jnp.float32))
+
+                return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+
+            t_g = timed(make_vg(0), max(2, args.iters // 2), x, offsets, weight)
+            msg = f"   fwd+bwd: gather {t_g*1e3:8.2f} ms"
+            if args.shift_window > 0:
+                t_s = timed(
+                    make_vg(args.shift_window), max(2, args.iters // 2),
+                    x, offsets, weight,
+                )
+                msg += f" | shift-window D={args.shift_window} {t_s*1e3:8.2f}"
+            print(msg, flush=True)
 
 
 if __name__ == "__main__":
