@@ -50,6 +50,7 @@ class CascadeRCNN(nn.Module):
             dcn_stages=c.backbone.dcn_stages,
             dcn_modulated=c.backbone.dcn_modulated,
             dcn_groups=c.backbone.dcn_groups or 0,
+            dcn_shift_window=c.backbone.dcn_shift_window,
             remat=c.backbone.remat,
             dtype=self.dtype,
             name="backbone",

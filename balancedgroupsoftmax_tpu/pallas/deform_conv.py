@@ -47,14 +47,22 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _kernel(
-    off_ref,  # (1, RB, W, 2*taps) f32
-    xwin_ref,  # (1, WIN, Wp, Cc) image dtype
+    off_ref,  # (1, 2*taps, RB, W) f32 — tap-major so the kernel can
+    # pl.ds-slice per tap (Mosaic has no dynamic_slice on values)
+    xp_ref,  # (B, Hp, Wp, C) image dtype, HBM-resident (pl.ANY) — the
+    # kernel DMAs its own (WIN, Wp, Cc) window per grid step instead of
+    # reading pre-materialized overlapping windows (which cost a
+    # WIN/(RB*stride)-fold duplicate of every feature map in HBM)
     w_ref,  # (1, taps, Cc, C_out) image dtype (C_in-chunk-major dense wgt)
-    mask_ref,  # (1, RB, W, taps) f32 or None (v2 modulation)
+    mask_ref,  # (1, taps, RB, W) f32 or None (v2 modulation)
     out_ref,  # (1, RB, W, C_out) f32 — revisited across the cc grid dim
-    wx_ref,  # scratch (taps*POS, Wp) f32
+    wx_ref,  # scratch (taps*POS, Wp) in the image dtype (bf16 weights
+    # round exactly like the gather path's wc() cast; saves the scratch
+    # AND the pre-matmul copy that OOM'd the strided c3 block)
     wy_ref,  # scratch (taps*POS, WIN) f32
     cols_ref,  # scratch (taps*POS, Cc) f32
+    xw_ref,  # scratch (WIN, Wp, Cc) image dtype — DMA landing slab
+    dma_sem,
     *,
     kh: int,
     kw: int,
@@ -69,17 +77,28 @@ def _kernel(
 ):
     taps = kh * kw
     pos = rb * w_out
-    wp = xwin_ref.shape[2]
-    win = xwin_ref.shape[1]
-    cc = xwin_ref.shape[3]
+    wp = xw_ref.shape[1]
+    win = xw_ref.shape[0]
+    cc = xw_ref.shape[2]
     c_out = out_ref.shape[3]
     blk = pl.program_id(0)  # fused (batch, row-block) index
-    cin = pl.program_id(1)  # C_in chunk index (innermost)
+    cout = pl.program_id(1)  # C_out chunk index
+    cin = pl.program_id(2)  # C_in chunk index (innermost)
     rbi = blk % n_rb  # row-block within the image
+    b_idx = blk // n_rb
 
-    @pl.when(cin == 0)
+    # start the window DMA first so it overlaps the weight build
+    dma = pltpu.make_async_copy(
+        xp_ref.at[
+            b_idx, pl.ds(rbi * rb * stride, win), :, pl.ds(cin * cc, cc)
+        ],
+        xw_ref,
+        dma_sem,
+    )
+    dma.start()
+
+    @pl.when((cin == 0) & (cout == 0))
     def _build_weights():
-        off = off_ref[0]  # (RB, W, 2*taps)
         # output-row/col index of each sample within the tile
         ii = jax.lax.broadcasted_iota(jnp.int32, (rb, w_out), 0).astype(
             jnp.float32
@@ -99,10 +118,14 @@ def _kernel(
             jnp.int32, (rb, w_out, win), 2
         ).astype(jnp.float32)
         for k in range(taps):
-            ky = k // kw
-            kx = k % kw
-            dy = jnp.clip(off[:, :, 2 * k], -float(window), float(window))
-            dx = jnp.clip(off[:, :, 2 * k + 1], -float(window), float(window))
+            ky = float(k // kw)
+            kx = float(k % kw)
+            dy = jnp.clip(
+                off_ref[0, 2 * k], -float(window), float(window)
+            )
+            dx = jnp.clip(
+                off_ref[0, 2 * k + 1], -float(window), float(window)
+            )
             # window-local sampling coords (see module docstring): the
             # window of row-block rbi starts at padded-image row
             # rbi*RB*stride, and padded row = img row + padding + window
@@ -115,7 +138,7 @@ def _kernel(
                 (y_abs > -1.0) & (y_abs < h) & (x_abs > -1.0) & (x_abs < w_img)
             ).astype(jnp.float32)
             if mask_ref is not None:
-                valid = valid * mask_ref[0, :, :, k]
+                valid = valid * mask_ref[0, k]
             fly = jnp.floor(ly)[:, :, None]
             flx = jnp.floor(lx)[:, :, None]
             fry = ly[:, :, None] - fly
@@ -127,23 +150,32 @@ def _kernel(
                 jnp.where(iota_h3 == fly, 1.0 - fry, 0.0)
                 + jnp.where(iota_h3 == fly + 1.0, fry, 0.0)
             ) * valid[:, :, None]
-            wx_ref[k * pos : (k + 1) * pos, :] = wx.reshape(pos, wp)
+            wx_ref[k * pos : (k + 1) * pos, :] = wx.reshape(pos, wp).astype(
+                wx_ref.dtype
+            )
             wy_ref[k * pos : (k + 1) * pos, :] = wy.reshape(pos, win)
 
     # stage X (MXU) + stage Y (VPU): cols[s, c] = sum_y Wy[s,y] (Wx @ xwin[y])[s, c]
-    xdt = xwin_ref.dtype
+    xdt = xw_ref.dtype
     # f32 inputs (tests / f32 serving) must not silently lower to
     # one-pass-bf16 MXU passes; bf16 (production) runs at full rate
     prec = jax.lax.Precision.HIGHEST if xdt == jnp.float32 else None
-    wxm = wx_ref[:, :].astype(xdt)
-    acc = jnp.zeros((taps * pos, cc), jnp.float32)
+    wxm = wx_ref[:, :]
+    cols_ref[:, :] = jnp.zeros((taps * pos, cc), jnp.float32)
+    dma.wait()
+
+    # static unrolls, but every iteration ACCUMULATES THROUGH THE SCRATCH
+    # REF: carrying the accumulator as a value let Mosaic keep all WIN xi
+    # temporaries live at once and blew scoped VMEM (18 MB at WIN=12,
+    # C=1024); ref round-trips sequence the iterations so the stack
+    # allocator can reuse one xi buffer (dynamic lane indexing is not an
+    # option — lane slices must be 128-aligned)
     for y in range(win):
         xi = jnp.dot(
-            wxm, xwin_ref[0, y], preferred_element_type=jnp.float32,
+            wxm, xw_ref[y], preferred_element_type=jnp.float32,
             precision=prec,
         )
-        acc = acc + wy_ref[:, y : y + 1] * xi
-    cols_ref[:, :] = acc
+        cols_ref[:, :] = cols_ref[:, :] + wy_ref[:, y : y + 1] * xi
 
     @pl.when(cin == 0)
     def _zero_out():
@@ -151,16 +183,14 @@ def _kernel(
 
     # fused grouped-conv GEMM against the block-diagonal dense weight,
     # accumulated across C_in chunks in the revisited out block
-    cols = cols_ref[:, :].astype(xdt)
-    part = jnp.zeros((pos, c_out), jnp.float32)
     for k in range(taps):
-        part = part + jnp.dot(
-            cols[k * pos : (k + 1) * pos, :],
+        part = jnp.dot(
+            cols_ref[k * pos : (k + 1) * pos, :].astype(xdt),
             w_ref[0, k],
             preferred_element_type=jnp.float32,
             precision=prec,
         )
-    out_ref[0] = out_ref[0] + part.reshape(rb, w_out, c_out)
+        out_ref[0] = out_ref[0] + part.reshape(rb, w_out, c_out)
 
 
 def _pick_cc(c_in: int) -> int:
@@ -187,7 +217,9 @@ def _fused_forward(
     taps = kh * kw
     c_out = w_dense.shape[1]
     d = window
-    rbs = row_block
+    # strided (first-block) layers double POS per row-block and their
+    # window/Wp spans; a single output row per tile keeps them in VMEM
+    rbs = 1 if stride > 1 else row_block
     n_rb = -(-h_out // rbs)
     win = (rbs - 1) * stride + kh + 2 * d
     pad_t = padding + d
@@ -198,28 +230,29 @@ def _fused_forward(
 
     xp = jnp.zeros((b, hp, wp, c_in), x.dtype)
     xp = jax.lax.dynamic_update_slice(xp, x, (0, pad_t, pad_t, 0))
-    # overlapping row windows, materialized once (WIN/RB/stride-fold
-    # duplication of a feature-map read — ~0.3 GB per c4 layer, <1 ms)
-    xwin = jnp.stack(
-        [
-            jax.lax.slice(
-                xp, (0, i * rbs * stride, 0, 0),
-                (b, i * rbs * stride + win, wp, c_in),
-            )
-            for i in range(n_rb)
-        ],
-        axis=1,
-    ).reshape(b * n_rb, win, wp, c_in)
 
     pad_rows = n_rb * rbs - h_out
     off_p = jnp.pad(offsets, ((0, 0), (0, pad_rows), (0, 0), (0, 0)))
-    off_p = off_p.reshape(b * n_rb, rbs, w_out, 2 * taps).astype(jnp.float32)
+    off_p = (
+        off_p.reshape(b * n_rb, rbs, w_out, 2 * taps)
+        .transpose(0, 3, 1, 2)
+        .astype(jnp.float32)
+    )
     if mask is not None:
         mask_p = jnp.pad(mask, ((0, 0), (0, pad_rows), (0, 0), (0, 0)))
-        mask_p = mask_p.reshape(b * n_rb, rbs, w_out, taps).astype(jnp.float32)
+        mask_p = (
+            mask_p.reshape(b * n_rb, rbs, w_out, taps)
+            .transpose(0, 3, 1, 2)
+            .astype(jnp.float32)
+        )
 
     cc = _pick_cc(c_in)
     n_cc = c_in // cc
+    # C_out chunking keeps the weight block (taps, cc, COc) x 2 pipeline
+    # buffers under VMEM at c5's C_out=2048 (stage X/Y recompute per
+    # chunk; n_cout is 1 everywhere C_out <= 1024)
+    coc = c_out if c_out <= 1024 else 1024
+    n_co = c_out // coc
     # chunk-major reorder of the dense weight: (n_cc, taps, cc, C_out)
     w_r = (
         w_dense.reshape(taps, n_cc, cc, c_out)
@@ -241,10 +274,11 @@ def _fused_forward(
     )
     if mask is None:
 
-        def kern(off_ref, xwin_ref, w_ref, out_ref, wx_ref, wy_ref, cols_ref):
+        def kern(off_ref, xp_ref, w_ref, out_ref, wx_ref, wy_ref,
+                 cols_ref, xw_ref, dma_sem):
             return _kernel(
-                off_ref, xwin_ref, w_ref, None, out_ref, wx_ref, wy_ref,
-                cols_ref, **statics,
+                off_ref, xp_ref, w_ref, None, out_ref, wx_ref, wy_ref,
+                cols_ref, xw_ref, dma_sem, **statics,
             )
 
     else:
@@ -252,23 +286,20 @@ def _fused_forward(
 
     in_specs = [
         pl.BlockSpec(
-            (1, rbs, w_out, 2 * taps), lambda t, c: (t, 0, 0, 0),
+            (1, 2 * taps, rbs, w_out), lambda t, co, c: (t, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+        pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec(
-            (1, win, wp, cc), lambda t, c: (t, 0, 0, c),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (1, taps, cc, c_out), lambda t, c: (c, 0, 0, 0),
+            (1, taps, cc, coc), lambda t, co, c: (c, 0, 0, co),
             memory_space=pltpu.VMEM,
         ),
     ]
-    args = [off_p, xwin, w_r]
+    args = [off_p, xp, w_r]
     if mask is not None:
         in_specs.append(
             pl.BlockSpec(
-                (1, rbs, w_out, taps), lambda t, c: (t, 0, 0, 0),
+                (1, taps, rbs, w_out), lambda t, co, c: (t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -276,17 +307,19 @@ def _fused_forward(
 
     out = pl.pallas_call(
         kern,
-        grid=(b * n_rb, n_cc),
+        grid=(b * n_rb, n_co, n_cc),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, rbs, w_out, c_out), lambda t, c: (t, 0, 0, 0),
+            (1, rbs, w_out, coc), lambda t, co, c: (t, 0, 0, co),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b * n_rb, rbs, w_out, c_out), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((taps * rbs * w_out, wp), jnp.float32),
+            pltpu.VMEM((taps * rbs * w_out, wp), x.dtype),
             pltpu.VMEM((taps * rbs * w_out, win), jnp.float32),
             pltpu.VMEM((taps * rbs * w_out, cc), jnp.float32),
+            pltpu.VMEM((win, wp, cc), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(*args)

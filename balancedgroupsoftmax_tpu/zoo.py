@@ -129,12 +129,14 @@ def htc_x101_64x4d_fpn_lvis(
     use_gs: bool = False,
     partition_path: Optional[str] = None,
     dcn: bool = False,
-    dcn_shift_window: int = 0,
+    dcn_shift_window: int = 4,
 ) -> Tuple[DetectorConfig, TrainConfig]:
     """configs/bags/gs_htc_x101_64x4d_fpn_20e_16gpu_lvis.py equivalent;
     dcn=True adds deformable conv c3-c5 (gs_htc_dconv_* top-line model).
-    dcn_shift_window>0 selects the gather-free shift-decomposition
-    deform-conv im2col (offsets clamped to +-window cells)."""
+    dcn_shift_window selects the fused-kernel deform conv with offsets
+    clamped to +-window cells (default 4 — the Pallas forward runs each
+    DCN layer at its plain-conv floor, BENCHMARKS round 5; pass 0 for
+    the exact-everywhere bilinear gather)."""
     det = DetectorConfig(
         backbone=BackboneConfig(
             depth=101,
