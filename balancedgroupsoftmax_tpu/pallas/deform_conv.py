@@ -74,6 +74,7 @@ def _kernel(
     rb: int,
     w_out: int,
     n_rb: int,
+    aligned: bool = False,
 ):
     taps = kh * kw
     pos = rb * w_out
@@ -177,9 +178,14 @@ def _kernel(
         )
         cols_ref[:, :] = cols_ref[:, :] + wy_ref[:, y : y + 1] * xi
 
-    @pl.when(cin == 0)
-    def _zero_out():
+    if aligned:
+        # chunk-diagonal mode: each out block is visited exactly once
         out_ref[0] = jnp.zeros((rb, w_out, c_out), jnp.float32)
+    else:
+
+        @pl.when(cin == 0)
+        def _zero_out():
+            out_ref[0] = jnp.zeros((rb, w_out, c_out), jnp.float32)
 
     # fused grouped-conv GEMM against the block-diagonal dense weight,
     # accumulated across C_in chunks in the revisited out block
@@ -211,6 +217,7 @@ def _fused_forward(
     window: int,
     row_block: int = 2,
     interpret: bool = False,
+    groups: int = 1,
 ) -> jnp.ndarray:
     b, h, w_img, c_in = x.shape
     h_out, w_out = offsets.shape[1], offsets.shape[2]
@@ -224,8 +231,10 @@ def _fused_forward(
     win = (rbs - 1) * stride + kh + 2 * d
     pad_t = padding + d
     # windows only read up to the computed extents; the max() guards the
-    # strided case where the grid extent underestimates the source rows
-    wp = max((w_out - 1) * stride + kw + 2 * d, pad_t + w_img)
+    # strided case where the grid extent underestimates the source rows.
+    # Wp rounds to the bf16 sublane tile (16) — the in-kernel window DMA
+    # requires tile-aligned extents in the second-minor dim
+    wp = _ceil_to(max((w_out - 1) * stride + kw + 2 * d, pad_t + w_img), 16)
     hp = max((n_rb * rbs - 1) * stride + kh + 2 * d, pad_t + h)
 
     xp = jnp.zeros((b, hp, wp, c_in), x.dtype)
@@ -248,17 +257,43 @@ def _fused_forward(
 
     cc = _pick_cc(c_in)
     n_cc = c_in // cc
-    # C_out chunking keeps the weight block (taps, cc, COc) x 2 pipeline
-    # buffers under VMEM at c5's C_out=2048 (stage X/Y recompute per
-    # chunk; n_cout is 1 everywhere C_out <= 1024)
-    coc = c_out if c_out <= 1024 else 1024
-    n_co = c_out // coc
-    # chunk-major reorder of the dense weight: (n_cc, taps, cc, C_out)
-    w_r = (
-        w_dense.reshape(taps, n_cc, cc, c_out)
-        .transpose(1, 0, 2, 3)
-        .astype(x.dtype)
-    )
+    c_g = c_in // groups
+    # GROUP-ALIGNED chunk-diagonal GEMM: when the contiguous conv groups
+    # tile the C_in chunks exactly (the X101 g64 layers: c_g 8/16/32 all
+    # divide 128), chunk ci's input channels only ever contract against
+    # their own groups' output slice — so each grid step does a
+    # (pos, cc) x (cc, coc) GEMM against the LIVE diagonal block instead
+    # of the full block-diagonal dense weight. This removes the
+    # groups-fold MXU FLOP waste (64x -> cc/c_g-fold, 11x less at c4),
+    # shrinks the weight block, and each out block is written exactly
+    # once (no cross-chunk revisiting).
+    aligned = groups > 1 and n_cc > 1 and cc % c_g == 0 and c_out % groups == 0
+    if aligned:
+        og = c_out // groups
+        coc = og * (cc // c_g)
+        n_co = 1
+        w3 = w_dense.reshape(taps, c_in, c_out)
+        w_r = jnp.stack(
+            [
+                jax.lax.slice(
+                    w3, (0, i * cc, i * coc), (taps, (i + 1) * cc, (i + 1) * coc)
+                )
+                for i in range(n_cc)
+            ],
+            axis=0,
+        ).astype(x.dtype)
+    else:
+        # C_out chunking keeps the weight block (taps, cc, COc) x 2
+        # pipeline buffers under VMEM at c5's C_out=2048 (stage X/Y
+        # recompute per chunk; n_cout is 1 everywhere C_out <= 1024)
+        coc = c_out if c_out <= 1024 else 1024
+        n_co = c_out // coc
+        # chunk-major reorder of the dense weight: (n_cc, taps, cc, C_out)
+        w_r = (
+            w_dense.reshape(taps, n_cc, cc, c_out)
+            .transpose(1, 0, 2, 3)
+            .astype(x.dtype)
+        )
 
     statics = dict(
         kh=kh,
@@ -271,6 +306,7 @@ def _fused_forward(
         rb=rbs,
         w_out=w_out,
         n_rb=n_rb,
+        aligned=aligned,
     )
     if mask is None:
 
@@ -291,7 +327,10 @@ def _fused_forward(
         ),
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec(
-            (1, taps, cc, coc), lambda t, co, c: (c, 0, 0, co),
+            (1, taps, cc, coc),
+            (lambda t, co, c: (c, 0, 0, 0))
+            if aligned
+            else (lambda t, co, c: (c, 0, 0, co)),
             memory_space=pltpu.VMEM,
         ),
     ]
@@ -310,7 +349,10 @@ def _fused_forward(
         grid=(b * n_rb, n_co, n_cc),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, rbs, w_out, coc), lambda t, co, c: (t, 0, 0, co),
+            (1, rbs, w_out, coc),
+            (lambda t, co, c: (t, 0, 0, c))
+            if aligned
+            else (lambda t, co, c: (t, 0, 0, co)),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b * n_rb, rbs, w_out, c_out), jnp.float32),
@@ -363,7 +405,7 @@ def deform_conv2d_fused(
     w_dense = build_dense_weight(weight, c_in, groups)
     return _fused_forward(
         x, offsets, w_dense, mask, kh, kw, stride, padding, window,
-        interpret=interpret,
+        interpret=interpret, groups=groups,
     )
 
 

@@ -58,17 +58,22 @@ from ..ops.roi_align import map_roi_levels
 PRECOMPUTED_INTERP = False
 
 # Backward strategy (BWD_MODE):
-#   "dense"   — per-level batched matmuls in GLOBAL level coordinates:
-#               dL_l = sum_r wy_r^T g_r wx_r with (os, H_l)/(os, W_l)
-#               interp matrices, two dot_generals per image under a scan
-#               over images. No scatter, no windows, no orientation logic;
-#               pure MXU. Rois not on level l contribute exact zeros
-#               (their wy rows are masked).
+#   "dense2"  — per-level batched matmuls in GLOBAL level coordinates,
+#               rows-first: Q = wy^T g (batched), then ONE two-dim
+#               contraction over (roi, j) — no (R*os, W*C) transpose at
+#               all, intermediate H_l-sized instead of W_l-sized. On the
+#               chip (round 5): full fwd+bwd 638.0 -> 510.0 ms @16, roi
+#               VJP + neck bwd 252.9 -> 125.0 ms, fwd+bwd MFU 17.6 ->
+#               22.0% — the v1 dense backward's explicit transpose was
+#               half its cost.
+#   "dense"   — the v1 contraction order: P = wx @ g then a transposed
+#               (R*os, W*C) @ matmul. dL_l = sum_r wy_r^T g_r wx_r either
+#               way; rois not on level l contribute exact zeros.
 #   "scan"    — per-roi half-canvas lax.scan (sequential read-modify-
 #               write, collision-free by construction).
 #   "scatter" — chunked jax.lax.scatter_add of batched window gradients
 #               (two big MXU einsums per chunk + window-granular scatter).
-BWD_MODE = "dense"
+BWD_MODE = "dense2"
 BWD_SCATTER_CHUNK = 256
 
 WIN_H = 32  # short-axis window cells

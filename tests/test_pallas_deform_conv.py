@@ -71,3 +71,17 @@ def test_fused_vjp_matches_xla_grads():
     )(x, off, wgt)
     for a, b_ in zip(g, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_fused_group_aligned_chunk_diagonal():
+    """C_in=256/groups=16 drives the chunk-diagonal GEMM path (n_cc=2,
+    each chunk contracting only its own groups' diagonal block) — must
+    equal the XLA shift path exactly like the dense-weight path does."""
+    rng = np.random.RandomState(6)
+    b, h, w, c, groups, d = 1, 9, 8, 256, 16, 2
+    x = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+    off = jnp.asarray(rng.uniform(-3, 3, (b, h, w, 18)), jnp.float32)
+    wgt = jnp.asarray(rng.randn(3, 3, c // groups, c) * 0.1, jnp.float32)
+    got = pdc.deform_conv2d_fused(x, off, wgt, None, 1, 1, groups, d, True)
+    ref = pdc._xla_reference(x, off, wgt, None, 1, 1, groups, d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
