@@ -187,15 +187,22 @@ def main():
 
                 return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
 
-            t_g = timed(make_vg(0), max(2, args.iters // 2), x, offsets, weight)
-            msg = f"   fwd+bwd: gather {t_g*1e3:8.2f} ms"
+            variants = [("gather", 0)]
             if args.shift_window > 0:
-                t_s = timed(
-                    make_vg(args.shift_window), max(2, args.iters // 2),
-                    x, offsets, weight,
-                )
-                msg += f" | shift-window D={args.shift_window} {t_s*1e3:8.2f}"
-            print(msg, flush=True)
+                variants.append((f"shift D={args.shift_window}", args.shift_window))
+            for vname, swin in variants:
+                try:
+                    t_v = timed(
+                        make_vg(swin), max(2, args.iters // 2),
+                        x, offsets, weight,
+                    )
+                    print(f"   fwd+bwd {vname}: {t_v*1e3:8.2f} ms", flush=True)
+                except Exception as e:  # compile OOMs at large batch: record
+                    print(
+                        f"   fwd+bwd {vname}: FAILED "
+                        f"({type(e).__name__}: {str(e).splitlines()[0][:90]})",
+                        flush=True,
+                    )
 
 
 if __name__ == "__main__":
