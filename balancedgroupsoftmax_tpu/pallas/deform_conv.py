@@ -61,8 +61,11 @@ def _kernel(
     # AND the pre-matmul copy that OOM'd the strided c3 block)
     wy_ref,  # scratch (taps*POS, WIN) f32
     cols_ref,  # scratch (taps*POS, Cc) f32
-    xw_ref,  # scratch (WIN, Wp, Cc) image dtype — DMA landing slab
-    dma_sem,
+    xw_ref,  # scratch (2, WIN, Wp, Cc) image dtype — double-buffered
+    # DMA landing slabs: step L waits slot L%2 (started by step L-1's
+    # prefetch) and starts slot (L+1)%2 for the next grid step, so the
+    # window fetch hides behind compute
+    dma_sem,  # (2,) DMA semaphores, one per slot
     *,
     kh: int,
     kw: int,
@@ -78,9 +81,9 @@ def _kernel(
 ):
     taps = kh * kw
     pos = rb * w_out
-    wp = xw_ref.shape[1]
-    win = xw_ref.shape[0]
-    cc = xw_ref.shape[2]
+    wp = xw_ref.shape[2]
+    win = xw_ref.shape[1]
+    cc = xw_ref.shape[3]
     c_out = out_ref.shape[3]
     blk = pl.program_id(0)  # fused (batch, row-block) index
     cout = pl.program_id(1)  # C_out chunk index
@@ -88,15 +91,37 @@ def _kernel(
     rbi = blk % n_rb  # row-block within the image
     b_idx = blk // n_rb
 
-    # start the window DMA first so it overlaps the weight build
-    dma = pltpu.make_async_copy(
-        xp_ref.at[
-            b_idx, pl.ds(rbi * rb * stride, win), :, pl.ds(cin * cc, cc)
-        ],
-        xw_ref,
-        dma_sem,
-    )
-    dma.start()
+    n_co = pl.num_programs(1)
+    n_ci = pl.num_programs(2)
+    total = pl.num_programs(0) * n_co * n_ci
+    lin = (blk * n_co + cout) * n_ci + cin
+    slot = jax.lax.rem(lin, 2)
+
+    def window_dma(t, ci, to_slot):
+        return pltpu.make_async_copy(
+            xp_ref.at[
+                t // n_rb,
+                pl.ds((t % n_rb) * rb * stride, win),
+                :,
+                pl.ds(ci * cc, cc),
+            ],
+            xw_ref.at[to_slot],
+            dma_sem.at[to_slot],
+        )
+
+    @pl.when(lin == 0)
+    def _bootstrap():
+        window_dma(blk, cin, slot).start()
+
+    # prefetch the NEXT grid step's window into the other slot before
+    # waiting on ours — the fetch then overlaps this step's compute
+    @pl.when(lin + 1 < total)
+    def _prefetch():
+        nxt = lin + 1
+        nci = jax.lax.rem(nxt, n_ci)
+        rest = nxt // n_ci
+        nt = rest // n_co
+        window_dma(nt, nci, 1 - slot).start()
 
     @pl.when((cin == 0) & (cout == 0))
     def _build_weights():
@@ -163,7 +188,7 @@ def _kernel(
     prec = jax.lax.Precision.HIGHEST if xdt == jnp.float32 else None
     wxm = wx_ref[:, :]
     cols_ref[:, :] = jnp.zeros((taps * pos, cc), jnp.float32)
-    dma.wait()
+    window_dma(blk, cin, slot).wait()
 
     # static unrolls, but every iteration ACCUMULATES THROUGH THE SCRATCH
     # REF: carrying the accumulator as a value let Mosaic keep all WIN xi
@@ -173,7 +198,7 @@ def _kernel(
     # option — lane slices must be 128-aligned)
     for y in range(win):
         xi = jnp.dot(
-            wxm, xw_ref[y], preferred_element_type=jnp.float32,
+            wxm, xw_ref[slot, y], preferred_element_type=jnp.float32,
             precision=prec,
         )
         cols_ref[:, :] = cols_ref[:, :] + wy_ref[:, y : y + 1] * xi
@@ -360,8 +385,8 @@ def _fused_forward(
             pltpu.VMEM((taps * rbs * w_out, wp), x.dtype),
             pltpu.VMEM((taps * rbs * w_out, win), jnp.float32),
             pltpu.VMEM((taps * rbs * w_out, cc), jnp.float32),
-            pltpu.VMEM((win, wp, cc), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, win, wp, cc), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(*args)
