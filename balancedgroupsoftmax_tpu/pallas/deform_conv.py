@@ -224,7 +224,13 @@ def _kernel(
         out_ref[0] = out_ref[0] + part.reshape(rb, w_out, c_out)
 
 
-def _pick_cc(c_in: int) -> int:
+def _pick_cc(c_in: int, w_out: int = 10**9) -> int:
+    # 256-wide chunks halve the grid steps (and their fixed costs) for
+    # the deep stages; the c3-scale scratch (POS ~336 samples x 256 f32
+    # cols/xi + the wide Wx) blows VMEM, so wide chunks are gated to
+    # narrow feature maps
+    if c_in % 256 == 0 and c_in >= 1024 and w_out <= 96:
+        return 256
     if c_in % 128 == 0:
         return 128
     return c_in
@@ -280,7 +286,7 @@ def _fused_forward(
             .astype(jnp.float32)
         )
 
-    cc = _pick_cc(c_in)
+    cc = _pick_cc(c_in, w_out)
     n_cc = c_in // cc
     c_g = c_in // groups
     # GROUP-ALIGNED chunk-diagonal GEMM: when the contiguous conv groups
