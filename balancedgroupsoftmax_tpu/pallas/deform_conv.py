@@ -78,6 +78,7 @@ def _kernel(
     w_out: int,
     n_rb: int,
     aligned: bool = False,
+    n_buf: int = 2,
 ):
     taps = kh * kw
     pos = rb * w_out
@@ -95,7 +96,7 @@ def _kernel(
     n_ci = pl.num_programs(2)
     total = pl.num_programs(0) * n_co * n_ci
     lin = (blk * n_co + cout) * n_ci + cin
-    slot = jax.lax.rem(lin, 2)
+    slot = jax.lax.rem(lin, 2) if n_buf == 2 else 0
 
     def window_dma(t, ci, to_slot):
         return pltpu.make_async_copy(
@@ -109,19 +110,26 @@ def _kernel(
             dma_sem.at[to_slot],
         )
 
-    @pl.when(lin == 0)
-    def _bootstrap():
-        window_dma(blk, cin, slot).start()
+    if n_buf == 2:
 
-    # prefetch the NEXT grid step's window into the other slot before
-    # waiting on ours — the fetch then overlaps this step's compute
-    @pl.when(lin + 1 < total)
-    def _prefetch():
-        nxt = lin + 1
-        nci = jax.lax.rem(nxt, n_ci)
-        rest = nxt // n_ci
-        nt = rest // n_co
-        window_dma(nt, nci, 1 - slot).start()
+        @pl.when(lin == 0)
+        def _bootstrap():
+            window_dma(blk, cin, slot).start()
+
+        # prefetch the NEXT grid step's window into the other slot
+        # before waiting on ours — the fetch overlaps this step's compute
+        @pl.when(lin + 1 < total)
+        def _prefetch():
+            nxt = lin + 1
+            nci = jax.lax.rem(nxt, n_ci)
+            rest = nxt // n_ci
+            nt = rest // n_co
+            window_dma(nt, nci, 1 - slot).start()
+
+    else:
+        # single-buffered fallback for VMEM-tight (f32 full-scale) layers:
+        # no prefetch overlap, but half the landing-slab footprint
+        window_dma(blk, cin, 0).start()
 
     @pl.when((cin == 0) & (cout == 0))
     def _build_weights():
@@ -224,16 +232,21 @@ def _kernel(
         out_ref[0] = out_ref[0] + part.reshape(rb, w_out, c_out)
 
 
-def _pick_cc(c_in: int, w_out: int = 10**9) -> int:
-    # 256-wide chunks halve the grid steps (and their fixed costs) for
-    # the deep stages; the c3-scale scratch (POS ~336 samples x 256 f32
-    # cols/xi + the wide Wx) blows VMEM, so wide chunks are gated to
-    # narrow feature maps
-    if c_in % 256 == 0 and c_in >= 1024 and w_out <= 96:
-        return 256
-    if c_in % 128 == 0:
-        return 128
-    return c_in
+def _vmem_estimate(
+    cc, coc, s_samp, wp, win, rb, w_out, taps, xbytes, n_buf=2
+):
+    """Rough scoped-VMEM bytes for one kernel instance. Mosaic's stack
+    allocator keeps more temporaries live than the naive sum (the
+    unrolled weight-build/tap loops), so callers apply a ~2x fudge."""
+    return (
+        s_samp * wp * xbytes  # wx scratch
+        + s_samp * win * 4  # wy scratch
+        + 2 * s_samp * cc * 4  # cols scratch + one live xi
+        + n_buf * win * wp * cc * xbytes  # window landing slabs
+        + 2 * taps * cc * coc * xbytes  # weight block x pipeline buffers
+        + 2 * rb * w_out * coc * 4  # out block x pipeline buffers
+        + 2 * rb * w_out * wp * 4  # weight-build temporaries (per tap)
+    )
 
 
 def _fused_forward(
@@ -286,9 +299,67 @@ def _fused_forward(
             .astype(jnp.float32)
         )
 
-    cc = _pick_cc(c_in, w_out)
-    n_cc = c_in // cc
     c_g = c_in // groups
+    # chunk width: the widest candidate whose estimated scoped VMEM fits
+    # (wider chunks = fewer grid steps and fixed costs; 256 wins ~6% e2e
+    # at c4/c5 but the c3-scale or f32 scratch blows the 16 MB budget —
+    # an f32 strided-c3 layer measured 19.3M at cc=128)
+    xb = jnp.dtype(x.dtype).itemsize
+    s_samp = taps * rbs * w_out
+    # the window DMA's channel slice must be 128-aligned or the full
+    # channel extent, so chunk candidates stop at 128
+    cands = [c for c in (256, 128) if c_in % c == 0 and c <= c_in]
+    if not cands:
+        cands = [c_in]
+    wp_est = _ceil_to(
+        max((w_out - 1) * stride + kw + 2 * d, padding + d + w_img), 16
+    )
+
+    def fits(cand, nb):
+        al = (
+            groups > 1
+            and (c_in // cand) > 1
+            and cand % c_g == 0
+            and c_out % groups == 0
+        )
+        if al:
+            coc_c = (c_out // groups) * (cand // c_g)
+            # out/weight blocks need a 128-divisible (or full) last dim
+            if coc_c % 128 != 0 and coc_c != c_out:
+                al = False
+        if not al:
+            coc_c = min(c_out, 1024)
+        est = _vmem_estimate(
+            cand, coc_c, s_samp, wp_est, win, rbs, w_out, taps, xb, nb
+        )
+        # fudge calibrated against Mosaic's measured scoped allocations:
+        # every bf16 production config compiles at 2x its estimate; the
+        # f32 full-scale c3 layer measured 2.3x (17.4M vs 7.6M est), so
+        # f32 gets the stricter factor
+        fudge = 2.5 if xb >= 4 else 2.0
+        return fudge * est < 15 * 1024 * 1024
+
+    cc = n_buf = None
+    for cand in cands:
+        if fits(cand, 2):
+            cc, n_buf = cand, 2
+            break
+        if fits(cand, 1):
+            cc, n_buf = cand, 1
+            break
+    if cc is None:
+        # no feasible plan (e.g. f32 at full 800x1344 c3 scale — the
+        # scratch is 2x the bf16 production footprint): the caller falls
+        # back to the XLA shift path, which has identical semantics
+        return None
+    n_cc = c_in // cc
+    import os as _os
+    if _os.environ.get("BAGS_DEBUG_DCN"):
+        print(
+            f"dcn kernel: x={x.shape} {x.dtype} stride={stride} rb={rbs} "
+            f"win={win} wp={wp} cc={cc} n_buf={n_buf} w_out={w_out}",
+            flush=True,
+        )
     # GROUP-ALIGNED chunk-diagonal GEMM: when the contiguous conv groups
     # tile the C_in chunks exactly (the X101 g64 layers: c_g 8/16/32 all
     # divide 128), chunk ci's input channels only ever contract against
@@ -302,6 +373,9 @@ def _fused_forward(
     if aligned:
         og = c_out // groups
         coc = og * (cc // c_g)
+        if coc % 128 != 0 and coc != c_out:
+            aligned = False  # illegal out-block tiling at this chunk width
+    if aligned:
         n_co = 1
         w3 = w_dense.reshape(taps, c_in, c_out)
         w_r = jnp.stack(
@@ -338,6 +412,7 @@ def _fused_forward(
         w_out=w_out,
         n_rb=n_rb,
         aligned=aligned,
+        n_buf=n_buf,
     )
     if mask is None:
 
@@ -391,8 +466,8 @@ def _fused_forward(
             pltpu.VMEM((taps * rbs * w_out, wp), x.dtype),
             pltpu.VMEM((taps * rbs * w_out, win), jnp.float32),
             pltpu.VMEM((taps * rbs * w_out, cc), jnp.float32),
-            pltpu.VMEM((2, win, wp, cc), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_buf, win, wp, cc), x.dtype),
+            pltpu.SemaphoreType.DMA((n_buf,)),
         ],
         interpret=interpret,
     )(*args)
@@ -434,10 +509,15 @@ def deform_conv2d_fused(
     kh, kw = weight.shape[0], weight.shape[1]
     c_in = x.shape[-1]
     w_dense = build_dense_weight(weight, c_in, groups)
-    return _fused_forward(
+    out = _fused_forward(
         x, offsets, w_dense, mask, kh, kw, stride, padding, window,
         interpret=interpret, groups=groups,
     )
+    if out is None:  # no VMEM-feasible kernel plan — same-semantics XLA
+        out = _xla_reference(
+            x, offsets, weight, mask, stride, padding, groups, window
+        )
+    return out
 
 
 def _xla_reference(x, offsets, weight, mask, stride, padding, groups, window):
